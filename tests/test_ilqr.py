@@ -1,0 +1,134 @@
+"""iLQR + AL solver system tests.
+
+Mirrors reference test/pendulum_tests.jl, test/car_tests.jl,
+test/quadrotor_tests.jl: physics end-state assertions with explicit
+tolerances (SURVEY.md §4 idiom 3).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import trajopt_tpu as tt
+from trajopt_tpu.models import zoo
+
+
+def _pendulum_problem(N=31, dt=0.15):
+    model_d = tt.discretize(zoo.pendulum, "rk3")
+    n, m = 2, 1
+    Q = np.eye(n) * 1e-3
+    R = np.eye(m) * 1e-3
+    xf = np.array([np.pi, 0.0])
+    obj = tt.LQRObjective(Q, R, Q, xf, N)
+    cons = tt.ConstraintSetBuilder(N)
+    cons.add(tt.bound_constraint(n, m, u_min=-3.0, u_max=3.0))
+    cons.add(tt.goal_constraint(xf))
+    return tt.problem(model_d, obj, constraints=cons, x0=np.zeros(n), xf=xf,
+                      N=N, dt=dt, U0=np.ones((N - 1, m)))
+
+
+def test_pendulum_al_swingup():
+    prob = _pendulum_problem()
+    res = tt.al_solve(prob, tt.ALOptions())
+    assert float(res.c_max) < 1e-3
+    assert np.linalg.norm(res.X[-1] - prob.xf) < 2e-3
+
+
+@pytest.mark.parametrize("integrator", ["midpoint", "rk3", "rk4"])
+def test_pendulum_all_integrators(integrator):
+    """reference test/pendulum_tests.jl:23-27 — every integrator solves."""
+    model_d = tt.discretize(zoo.pendulum, integrator)
+    n, m, N = 2, 1, 31
+    xf = np.array([np.pi, 0.0])
+    obj = tt.LQRObjective(np.eye(n) * 1e-3, np.eye(m) * 1e-3, np.eye(n) * 1e-3,
+                          xf, N)
+    cons = tt.ConstraintSetBuilder(N)
+    cons.add(tt.bound_constraint(n, m, u_min=-3.0, u_max=3.0))
+    cons.add(tt.goal_constraint(xf))
+    prob = tt.problem(model_d, obj, constraints=cons, x0=np.zeros(n), xf=xf,
+                      N=N, dt=0.15, U0=np.ones((N - 1, m)))
+    res = tt.al_solve(prob, tt.ALOptions())
+    assert float(res.c_max) < 1e-3
+
+
+def test_unconstrained_ilqr_doubleintegrator():
+    model_d = tt.discretize(zoo.doubleintegrator, "rk3")
+    n, m, N = 2, 1, 21
+    xf = np.array([1.0, 0.0])
+    obj = tt.LQRObjective(np.eye(n), np.eye(m) * 0.1, np.eye(n) * 100.0, xf, N)
+    prob = tt.problem(model_d, obj, x0=np.zeros(n), xf=xf, N=N, dt=0.1)
+    res = tt.al_solve(prob, tt.ALOptions())
+    assert np.linalg.norm(res.X[-1] - xf) < 1e-2
+
+
+def test_car_parallel_park():
+    """reference test/car_tests.jl:29-38 — goal within 1e-3 via AL."""
+    model_d = tt.discretize(zoo.car, "rk3")
+    n, m, N = 3, 2, 51
+    x0 = np.zeros(3)
+    xf = np.array([0.0, 1.0, 0.0])
+    obj = tt.LQRObjective(np.eye(n) * 1e-2, np.eye(m) * 1e-2, np.eye(n) * 100.0,
+                          xf, N)
+    u_bnd = 2.0
+    x_min = [-0.25, -0.001, -np.inf]
+    x_max = [0.25, 1.001, np.inf]
+    bnd1 = tt.bound_constraint(n, m, u_min=-u_bnd, u_max=u_bnd, label="bnd1")
+    bnd2 = tt.bound_constraint(n, m, x_min=x_min, x_max=x_max, u_min=-u_bnd,
+                               u_max=u_bnd, label="bnd2")
+    cons = tt.ConstraintSetBuilder(N)
+    cons.add(bnd1, knots=[0])
+    cons.add(bnd2, knots=range(1, N - 1))
+    cons.add(tt.goal_constraint(xf))
+    prob = tt.problem(model_d, obj, constraints=cons, x0=x0, xf=xf, N=N,
+                      dt=0.06, U0=np.ones((N - 1, m)))
+    res = tt.al_solve(prob, tt.ALOptions())
+    assert float(res.c_max) < 1e-3
+    assert np.linalg.norm(res.X[-1] - xf) < 2e-3
+    # state bounds respected (within AL tolerance)
+    assert np.max(res.X[1:-1, 0]) < 0.25 + 1e-3
+    assert np.min(res.X[1:-1, 0]) > -0.25 - 1e-3
+
+
+def test_quadrotor_ilqr():
+    """reference test/quadrotor_tests.jl:38-45 — unconstrained iLQR reaches
+    the 60 m translation target."""
+    model_q = tt.discretize(zoo.quadrotor, "rk3")
+    n, m, N = 13, 4, 101
+    x0 = np.zeros(n)
+    x0[0:3] = [0, 0, 10]
+    x0[3] = 1.0
+    xf = np.zeros(n)
+    xf[0:3] = [0, 60, 10]
+    xf[3] = 1.0
+    Q = np.eye(n) * 1e-3
+    Q[3:7, 3:7] = np.eye(4) * 1e-2
+    obj = tt.LQRObjective(Q, np.eye(m) * 1e-4, np.eye(n) * 1000.0, xf, N)
+    prob = tt.problem(model_q, obj, x0=x0, xf=xf, N=N, dt=0.05,
+                      U0=np.full((N - 1, m), 0.5 * 9.81 / 4))
+    res = tt.al_solve(prob, tt.ALOptions())
+    assert np.linalg.norm(res.X[-1, :3] - xf[:3]) < 5e-3
+
+
+def test_batched_vmap_solve():
+    """TPU batch axis: vmap the whole AL solve over initial conditions."""
+    import jax
+
+    model_d = tt.discretize(zoo.pendulum, "rk3")
+    n, m, N = 2, 1, 31
+    xf = np.array([np.pi, 0.0])
+    obj = tt.LQRObjective(np.eye(n) * 1e-3, np.eye(m) * 1e-3, np.eye(n) * 1e-3,
+                          xf, N)
+    cons = tt.ConstraintSetBuilder(N)
+    cons.add(tt.bound_constraint(n, m, u_min=-3.0, u_max=3.0))
+    cons.add(tt.goal_constraint(xf))
+    base = tt.problem(model_d, obj, constraints=cons, x0=np.zeros(n), xf=xf,
+                      N=N, dt=0.15, U0=np.ones((N - 1, m)))
+
+    def solve_from(x0):
+        prob = tt.update_problem(base, x0=x0, X=base.X.at[0].set(x0))
+        res = tt.al_solve(prob, tt.ALOptions())
+        return res.c_max, res.X[-1]
+
+    x0s = jnp.asarray(np.array([[0.0, 0.0], [0.3, 0.0], [-0.2, 0.1], [0.1, -0.3]]))
+    c_maxes, xNs = jax.jit(jax.vmap(solve_from))(x0s)
+    assert np.all(np.asarray(c_maxes) < 1e-3)
+    assert np.allclose(xNs, xf, atol=2e-3)

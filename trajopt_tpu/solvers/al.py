@@ -1,0 +1,203 @@
+"""Augmented Lagrangian (outer loop) solver.
+
+TPU-native counterpart of reference src/solvers/augmented_lagrangian/. The
+AL objective decorator (augmented_lagrangian_methods.jl:129-229) becomes a
+pair of pure closures over (λ, μ) that the iLQR core consumes; dual/penalty
+updates are fixed-shape masked array ops over the stacked constraint layout.
+The outer loop is a ``lax.while_loop``, so a full constrained ALTRO solve is
+ONE compiled XLA program (and vmappable over problem batches).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from trajopt_tpu.ops.cost import Expansion, cost_expansion, total_cost
+from trajopt_tpu.ops.constraints import ConstraintSet
+from trajopt_tpu.problem import Problem
+from trajopt_tpu.solvers.ilqr import ILQRResult, iLQROptions, ilqr_solve
+from trajopt_tpu.utils.tree import static_dataclass
+
+
+@static_dataclass
+class ALOptions:
+    """(reference AugmentedLagrangianSolverOptions,
+    augmented_lagrangian_solver.jl:8-66). Same defaults."""
+
+    opts_uncon: iLQROptions = iLQROptions()
+    cost_tolerance: float = 1e-4
+    cost_tolerance_intermediate: float = 1e-3
+    gradient_norm_tolerance: float = 1e-5
+    gradient_norm_tolerance_intermediate: float = 1e-5
+    constraint_tolerance: float = 1e-3
+    constraint_tolerance_intermediate: float = 1e-3
+    iterations: int = 30
+    dual_min: float = -1e8
+    dual_max: float = 1e8
+    penalty_max: float = 1e8
+    penalty_initial: float = 1.0
+    penalty_scaling: float = 10.0
+    active_constraint_tolerance: float = 0.0
+    kickout_max_penalty: bool = False
+
+
+class ALResult(NamedTuple):
+    X: jnp.ndarray
+    U: jnp.ndarray
+    lam: jnp.ndarray
+    mu: jnp.ndarray
+    C: jnp.ndarray
+    c_max: jnp.ndarray
+    J: jnp.ndarray
+    iterations: jnp.ndarray
+    iterations_total: jnp.ndarray
+    gradient: jnp.ndarray
+
+
+def al_cost_fns(obj, cs: ConstraintSet, dt_traj, lam, mu, tol=0.0):
+    """Build (cost_fn, expansion_fn) for the AL-decorated objective.
+
+    cost: J + Σ_k λᵀc + ½ cᵀ Iμ c   with Iμ = diag(active ⊙ μ)
+    (reference aula_cost, augmented_lagrangian_methods.jl:284-286; expansion
+    terms from cost_expansion!, :186-229).
+    """
+
+    def cost_fn(X, U):
+        J = obj.total(X, U, dt_traj)
+        C = cs.evaluate(X, U)
+        a = cs.active_set(C, lam, tol)
+        Imu = jnp.where(a, mu, 0.0)
+        Jc = jnp.sum(lam * C + 0.5 * C * Imu * C)
+        return J + Jc
+
+    def expansion_fn(X, U):
+        e = obj.expansion(X, U, dt_traj)
+        C = cs.evaluate(X, U)
+        a = cs.active_set(C, lam, tol)
+        Imu = jnp.where(a, mu, 0.0)
+        cx, cu = cs.jacobian(X, U)          # (N,P,n), (N,P,m)
+        g = Imu * C + lam                    # (N,P)
+
+        lx = e.x + jnp.einsum("kpi,kp->ki", cx, g)
+        lxx = e.xx + jnp.einsum("kpi,kp,kpj->kij", cx, Imu, cx)
+
+        cu_s, cx_s = cu[:-1], cx[:-1]
+        Imu_s, g_s = Imu[:-1], g[:-1]
+        lu = e.u + jnp.einsum("kpi,kp->ki", cu_s, g_s)
+        luu = e.uu + jnp.einsum("kpi,kp,kpj->kij", cu_s, Imu_s, cu_s)
+        lux = e.ux + jnp.einsum("kpi,kp,kpj->kij", cu_s, Imu_s, cx_s)
+        return Expansion(x=lx, u=lu, xx=lxx, uu=luu, ux=lux)
+
+    return cost_fn, expansion_fn
+
+
+def dual_update(cs: ConstraintSet, C, lam, mu, opts: ALOptions):
+    """λ ← clamp(λ + μ∘c, dual_min, dual_max); inequality rows projected to
+    λ ≥ 0 (reference dual_update!, augmented_lagrangian_methods.jl:107-118)."""
+    lam_new = jnp.clip(lam + mu * C, opts.dual_min, opts.dual_max)
+    lam_new = jnp.where(cs.is_eq[None, :], lam_new, jnp.maximum(0.0, lam_new))
+    return jnp.where(cs.mask, lam_new, 0.0)
+
+
+def penalty_update(cs: ConstraintSet, mu, scaling, opts: ALOptions):
+    """μ ← min(scaling·μ, μ_max) (reference penalty_update!, :121-126)."""
+    mu_new = jnp.clip(scaling * mu, 0.0, opts.penalty_max)
+    return jnp.where(cs.mask, mu_new, 0.0)
+
+
+def max_violation(cs: ConstraintSet, C):
+    return cs.max_violation(C)
+
+
+def al_solve(
+    prob: Problem,
+    opts: ALOptions = ALOptions(),
+    constraint_tolerance=None,
+    mu_init=None,
+    penalty_scaling=None,
+) -> ALResult:
+    """AL solve (reference solve!, augmented_lagrangian_methods.jl:2-31).
+
+    ``mu_init`` / ``penalty_scaling`` may be (P,) row vectors so ALTRO can
+    give its infeasible/min-time rows their own penalty schedule
+    (reference altro_solver.jl:26-53 options).
+    """
+    cs = prob.constraints
+    dtype = prob.U.dtype
+    dt_traj = prob.dt_traj()
+    ctol = jnp.asarray(
+        opts.constraint_tolerance if constraint_tolerance is None
+        else constraint_tolerance, dtype)
+
+    if not cs.is_constrained:
+        # unconstrained: plain iLQR (reference augmented_lagrangian_methods.jl:33-36)
+        def cost_fn(X, U):
+            return prob.obj.total(X, U, dt_traj)
+
+        def expansion_fn(X, U):
+            return prob.obj.expansion(X, U, dt_traj)
+
+        res = ilqr_solve(prob.model, cost_fn, expansion_fn, prob.x0, prob.X,
+                         prob.U, dt_traj, opts.opts_uncon,
+                         cost_tol=opts.cost_tolerance,
+                         grad_tol=opts.gradient_norm_tolerance)
+        zp = jnp.zeros((prob.N, 0), dtype)
+        return ALResult(X=res.X, U=res.U, lam=zp, mu=zp, C=zp,
+                        c_max=jnp.zeros((), dtype), J=res.J,
+                        iterations=jnp.ones((), jnp.int32),
+                        iterations_total=res.iterations, gradient=res.gradient)
+
+    N, P = cs.N, cs.P
+    lam0 = jnp.zeros((N, P), dtype)
+    mu0 = jnp.broadcast_to(
+        jnp.asarray(opts.penalty_initial if mu_init is None else mu_init, dtype),
+        (N, P)) * cs.mask
+    scaling = jnp.broadcast_to(
+        jnp.asarray(opts.penalty_scaling if penalty_scaling is None
+                    else penalty_scaling, dtype), (P,))
+
+    atol = opts.active_constraint_tolerance
+
+    def inner_solve(X, U, lam, mu, cost_tol, grad_tol):
+        cost_fn, expansion_fn = al_cost_fns(prob.obj, cs, dt_traj, lam, mu, atol)
+        return ilqr_solve(prob.model, cost_fn, expansion_fn, prob.x0, X, U,
+                          dt_traj, opts.opts_uncon,
+                          cost_tol=cost_tol, grad_tol=grad_tol)
+
+    def cond_fn(st):
+        X, U, lam, mu, c_max, J, it, it_total, grad, converged = st
+        return (~converged) & (it < opts.iterations)
+
+    def body_fn(st):
+        X, U, lam, mu, c_max, J, it, it_total, grad, _ = st
+
+        # tolerance stitching (reference set_tolerances!, :39-50)
+        last = it == opts.iterations - 1
+        cost_tol = jnp.where(last, opts.cost_tolerance,
+                             opts.cost_tolerance_intermediate)
+        grad_tol = jnp.where(last, opts.gradient_norm_tolerance,
+                             opts.gradient_norm_tolerance_intermediate)
+
+        res = inner_solve(X, U, lam, mu, cost_tol, grad_tol)
+        C = cs.evaluate(res.X, res.U)
+        lam = dual_update(cs, C, lam, mu, opts)
+        mu = penalty_update(cs, mu, scaling[None, :], opts)
+
+        c_max = cs.max_violation(C)
+        converged = c_max < ctol
+        if opts.kickout_max_penalty:
+            converged = converged | (jnp.max(mu) >= opts.penalty_max)
+        return (res.X, res.U, lam, mu, c_max, res.J, it + 1,
+                it_total + res.iterations, res.gradient, converged)
+
+    big = jnp.asarray(jnp.inf, dtype)
+    init = (prob.X, prob.U, lam0, mu0, big, big,
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), big,
+            jnp.asarray(False))
+    X, U, lam, mu, c_max, J, it, it_total, grad, conv = jax.lax.while_loop(
+        cond_fn, body_fn, init)
+    C = cs.evaluate(X, U)
+    return ALResult(X=X, U=U, lam=lam, mu=mu, C=C, c_max=c_max, J=J,
+                    iterations=it, iterations_total=it_total, gradient=grad)

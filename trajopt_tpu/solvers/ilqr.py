@@ -1,0 +1,339 @@
+"""iLQR solver (inner loop of ALTRO).
+
+TPU-native counterpart of reference src/solvers/ilqr/. The algorithm is the
+reference's exactly — Riccati/DDP backward pass with the ρ/dρ regularization
+schedule and whole-sweep restart on a non-PD Quu, plus a backtracking forward
+pass with the z-ratio accept rule — but restructured for XLA:
+
+- Jacobians + cost expansion: one ``vmap`` over the knot axis (reference
+  loops per knot, ilqr_methods.jl:49-52).
+- Backward pass: ``lax.scan`` (reverse) over time; the non-PD "restart at
+  k=N-1" (backward_pass.jl:52-63) becomes a bounded retry ``while_loop``
+  around the whole sweep with the identical ρ update.
+- Forward pass: ``lax.while_loop`` reproducing forward_pass.jl:5-85 step for
+  step (α halving, divergence retry, restore + ρ bump on exhaustion).
+- Main loop: ``lax.while_loop`` with the reference convergence rules
+  (ilqr_methods.jl:139-162).
+
+Everything is jit-safe and vmappable, so one compiled program solves a
+batch of B problems; per-problem early exit falls out of while_loop
+batching (masked updates).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from trajopt_tpu.ops.cost import Expansion
+from trajopt_tpu.ops.rollout import rollout, rollout_closed_loop
+from trajopt_tpu.utils.tree import static_dataclass
+
+
+@static_dataclass
+class iLQROptions:
+    """(reference iLQRSolverOptions, ilqr_solver.jl:7-81). Same defaults."""
+
+    cost_tolerance: float = 1e-4
+    gradient_norm_tolerance: float = 1e-5
+    iterations: int = 300
+    dJ_counter_limit: int = 10
+    square_root: bool = False
+    line_search_lower_bound: float = 1e-8
+    line_search_upper_bound: float = 10.0
+    iterations_linesearch: int = 20
+    bp_reg_initial: float = 0.0
+    bp_reg_increase_factor: float = 1.6
+    bp_reg_max: float = 1e8
+    bp_reg_min: float = 1e-8
+    bp_reg_type: str = "control"  # 'control' | 'state'
+    bp_reg_fp: float = 10.0
+    max_cost_value: float = 1e8
+    max_state_value: float = 1e8
+    max_control_value: float = 1e8
+    gradient_type: str = "todorov"
+    bp_max_attempts: int = 50  # bound on non-PD retry sweeps (new; ref loops unboundedly)
+
+
+class ILQRResult(NamedTuple):
+    X: jnp.ndarray
+    U: jnp.ndarray
+    K: jnp.ndarray
+    d: jnp.ndarray
+    J: jnp.ndarray
+    iterations: jnp.ndarray
+    gradient: jnp.ndarray
+    dJ: jnp.ndarray
+    rho: jnp.ndarray
+    drho: jnp.ndarray
+
+
+def reg_increase(rho, drho, opts: iLQROptions):
+    """(reference regularization_update! :increase, ilqr_methods.jl:164-171)."""
+    drho = jnp.maximum(drho * opts.bp_reg_increase_factor, opts.bp_reg_increase_factor)
+    rho = jnp.maximum(rho * drho, opts.bp_reg_min)
+    return rho, drho
+
+
+def reg_decrease(rho, drho, opts: iLQROptions):
+    """(reference regularization_update! :decrease, ilqr_methods.jl:171-176)."""
+    drho = jnp.minimum(drho / opts.bp_reg_increase_factor,
+                       1.0 / opts.bp_reg_increase_factor)
+    rho = rho * drho * (rho * drho > opts.bp_reg_min)
+    return rho, drho
+
+
+def backward_pass(A, B, exp: Expansion, rho, drho, opts: iLQROptions):
+    """Riccati/DDP sweep (reference _backwardpass!, backward_pass.jl:9-85).
+
+    A: (N-1, n, n), B: (N-1, n, m), exp: stacked expansion.
+    Returns (K (N-1,m,n), d (N-1,m), dV1, dV2, rho, drho).
+
+    Non-PD Quu_reg (detected via NaN in its Cholesky factor — the XLA
+    equivalent of `isposdef`) triggers the reference's restart: increase ρ
+    and redo the whole sweep. A bounded while_loop caps pathological cases.
+    """
+    n = A.shape[-1]
+    m = B.shape[-1]
+    f32eps = jnp.finfo(A.dtype).eps
+
+    def sweep(rho_val):
+        SxN = exp.x[-1]
+        SxxN = exp.xx[-1]
+
+        def bp_step(carry, inp):
+            Sx, Sxx, dV1, dV2, fail = carry
+            A_k, B_k, lx, lu, lxx, luu, lux = inp
+
+            SxxA = Sxx @ A_k
+            SxxB = Sxx @ B_k
+            Qx = lx + A_k.T @ Sx
+            Qu = lu + B_k.T @ Sx
+            Qxx = lxx + A_k.T @ SxxA
+            Quu = luu + B_k.T @ SxxB
+            Qux = lux + B_k.T @ SxxA
+
+            if opts.bp_reg_type == "state":
+                Quu_reg = Quu + rho_val * (B_k.T @ B_k)
+                Qux_reg = Qux + rho_val * (B_k.T @ A_k)
+            else:
+                Quu_reg = Quu + rho_val * jnp.eye(m, dtype=A.dtype)
+                Qux_reg = Qux
+
+            Quu_reg = 0.5 * (Quu_reg + Quu_reg.T)
+            L = jnp.linalg.cholesky(Quu_reg)
+            fail_k = jnp.any(jnp.isnan(L))
+
+            rhs = jnp.concatenate([Qux_reg, Qu[:, None]], axis=1)
+            sol = jax.scipy.linalg.cho_solve((L, True), rhs)
+            sol = jnp.where(fail_k, jnp.zeros_like(sol), sol)
+            K_k = -sol[:, :n]
+            d_k = -sol[:, n]
+
+            # cost-to-go with UNregularized Quu/Qux (backward_pass.jl:66-72)
+            Quu_d = Quu @ d_k
+            Sx_new = Qx + K_k.T @ Quu_d + K_k.T @ Qu + Qux.T @ d_k
+            Sxx_new = Qxx + K_k.T @ Quu @ K_k + K_k.T @ Qux + Qux.T @ K_k
+            Sxx_new = 0.5 * (Sxx_new + Sxx_new.T)
+
+            dV1 = dV1 + d_k @ Qu
+            dV2 = dV2 + 0.5 * d_k @ Quu_d
+            return (Sx_new, Sxx_new, dV1, dV2, fail | fail_k), (K_k, d_k)
+
+        zero = jnp.zeros((), dtype=A.dtype)
+        (Sx, Sxx, dV1, dV2, fail), (K, d) = jax.lax.scan(
+            bp_step,
+            (SxN, SxxN, zero, zero, jnp.asarray(False)),
+            (A, B, exp.x[:-1], exp.u, exp.xx[:-1], exp.uu, exp.ux),
+            reverse=True,
+        )
+        return K, d, dV1, dV2, fail
+
+    K0, d0, dV1_0, dV2_0, fail0 = sweep(rho)
+
+    def retry_cond(st):
+        _, _, _, _, fail, rho_c, _, attempts = st
+        return fail & (attempts < opts.bp_max_attempts)
+
+    def retry_body(st):
+        _, _, _, _, _, rho_c, drho_c, attempts = st
+        rho_c, drho_c = reg_increase(rho_c, drho_c, opts)
+        K, d, dV1, dV2, fail = sweep(rho_c)
+        return (K, d, dV1, dV2, fail, rho_c, drho_c, attempts + 1)
+
+    K, d, dV1, dV2, fail, rho, drho, _ = jax.lax.while_loop(
+        retry_cond, retry_body,
+        (K0, d0, dV1_0, dV2_0, fail0, rho, drho, jnp.zeros((), jnp.int32)),
+    )
+
+    rho, drho = reg_decrease(rho, drho, opts)
+    return K, d, dV1, dV2, rho, drho
+
+
+def forward_pass(model, cost_fn, x0, X, U, K, d, dV1, dV2, J_prev, rho, drho,
+                 dt, opts: iLQROptions):
+    """Backtracking line search (reference forwardpass!, forward_pass.jl:5-85).
+
+    Returns (X̄, Ū, J, rho, drho, alpha_used).
+    """
+    big = jnp.asarray(jnp.inf, dtype=X.dtype)
+
+    def do_rollout(alpha):
+        return rollout_closed_loop(
+            model, x0, X, U, K, d, alpha, dt,
+            max_state_value=opts.max_state_value,
+            max_control_value=opts.max_control_value,
+        )
+
+    def cond_fn(st):
+        alpha, it, J, z, expected, Xb, Ub, done, rho_c, drho_c = st
+        searching = ((z <= opts.line_search_lower_bound)
+                     | (z > opts.line_search_upper_bound)) & (J >= J_prev)
+        return searching & ~done
+
+    def body_fn(st):
+        alpha, it, J, z, expected, Xb, Ub, done, rho_c, drho_c = st
+
+        over = it > opts.iterations_linesearch
+
+        # --- exhausted branch (forward_pass.jl:22-37): restore & bump ρ
+        rho_o, drho_o = reg_increase(rho_c, drho_c, opts)
+        rho_o = rho_o + opts.bp_reg_fp
+
+        # --- normal branch: rollout at current α
+        Xc, Uc, ok = do_rollout(alpha)
+        J_c = cost_fn(Xc, Uc)
+        expected_c = -alpha * (dV1 + alpha * dV2)
+        z_c = jnp.where(expected_c > 0.0, (J_prev - J_c) / expected_c, -1.0)
+
+        # rollout diverged ⇒ keep J=inf, just halve α (forward_pass.jl:43-49)
+        J_n = jnp.where(ok, J_c, J)
+        z_n = jnp.where(ok, z_c, z)
+        exp_n = jnp.where(ok, expected_c, expected)
+        Xb_n = jnp.where(ok, Xc, Xb)
+        Ub_n = jnp.where(ok, Uc, Ub)
+
+        # select between exhausted and normal
+        alpha_out = jnp.where(over, 0.0, alpha / 2.0)
+        it_out = it + 1
+        J_out = jnp.where(over, J_prev, J_n)
+        z_out = jnp.where(over, 0.0, z_n)
+        exp_out = jnp.where(over, 0.0, exp_n)
+        Xb_out = jnp.where(over, X, Xb_n)
+        Ub_out = jnp.where(over, U, Ub_n)
+        rho_out = jnp.where(over, rho_o, rho_c)
+        drho_out = jnp.where(over, drho_o, drho_c)
+        return (alpha_out, it_out, J_out, z_out, exp_out, Xb_out, Ub_out,
+                over, rho_out, drho_out)
+
+    zero_i = jnp.zeros((), jnp.int32)
+    init = (jnp.ones((), X.dtype), zero_i, big, -jnp.ones((), X.dtype),
+            jnp.zeros((), X.dtype), X, U, jnp.asarray(False), rho, drho)
+    alpha, it, J, z, expected, Xb, Ub, done, rho, drho = jax.lax.while_loop(
+        cond_fn, body_fn, init
+    )
+    return Xb, Ub, J, rho, drho, alpha * 2.0
+
+
+def gradient_todorov(d, U):
+    """(reference gradient_todorov, ilqr_methods.jl:122-129)."""
+    maxes = jnp.max(jnp.abs(d) / (jnp.abs(U) + 1.0), axis=-1)
+    return jnp.mean(maxes)
+
+
+def ilqr_solve(
+    model,
+    cost_fn: Callable,
+    expansion_fn: Callable,
+    x0,
+    X0,
+    U0,
+    dt,
+    opts: iLQROptions = iLQROptions(),
+    cost_tol=None,
+    grad_tol=None,
+    rho0=None,
+    do_rollout: bool = True,
+) -> ILQRResult:
+    """Solve an unconstrained (or AL-wrapped) problem with iLQR
+    (reference solve!, ilqr_methods.jl:3-45).
+
+    ``cost_fn(X, U) -> J`` and ``expansion_fn(X, U) -> Expansion`` define the
+    objective (the AL solver passes its decorated versions,
+    augmented_lagrangian_methods.jl:186-229). ``cost_tol``/``grad_tol`` may be
+    traced scalars so the AL outer loop can tighten them without recompiling
+    (reference set_tolerances!, augmented_lagrangian_methods.jl:39-50).
+    """
+    dtype = X0.dtype
+    cost_tol = jnp.asarray(opts.cost_tolerance if cost_tol is None else cost_tol, dtype)
+    grad_tol = jnp.asarray(
+        opts.gradient_norm_tolerance if grad_tol is None else grad_tol, dtype)
+
+    dt_traj = jnp.broadcast_to(jnp.asarray(dt, dtype), (U0.shape[0],))
+
+    if do_rollout:
+        # initial rollout if no valid state seed (reference rollout!, rollout.jl:25-31)
+        needs = ~jnp.all(jnp.isfinite(X0))
+        X_roll = rollout(model, x0, U0, dt_traj)
+        X0 = jnp.where(needs, X_roll, X0)
+
+    J0 = cost_fn(X0, U0)
+    rho = jnp.asarray(opts.bp_reg_initial if rho0 is None else rho0, dtype)
+    drho = jnp.ones((), dtype)
+
+    m, n = U0.shape[-1], X0.shape[-1]
+    Nm1 = U0.shape[0]
+    K0 = jnp.zeros((Nm1, m, n), dtype)
+    d0 = jnp.zeros((Nm1, m), dtype)
+
+    def cond_fn(st):
+        (X, U, K, d, J_prev, dJ, grad, rho_c, drho_c, dJ_zero, it, converged) = st
+        return (~converged) & (it < opts.iterations) & (J_prev < opts.max_cost_value)
+
+    def body_fn(st):
+        (X, U, K, d, J_prev, dJ, grad, rho_c, drho_c, dJ_zero, it, _) = st
+
+        A, B = model.jacobian_traj(X[:-1], U, dt_traj)
+        exp = expansion_fn(X, U)
+        K, d, dV1, dV2, rho_c, drho_c = backward_pass(A, B, exp, rho_c, drho_c, opts)
+        Xn, Un, J, rho_c, drho_c, alpha = forward_pass(
+            model, cost_fn, x0, X, U, K, d, dV1, dV2, J_prev, rho_c, drho_c,
+            dt_traj, opts)
+
+        dJ = jnp.abs(J - J_prev)
+        grad = gradient_todorov(d, Un)
+        dJ_zero = jnp.where(dJ == 0.0, dJ_zero + 1, 0)
+
+        converged = ((0.0 < dJ) & (dJ < cost_tol)) | (grad < grad_tol) \
+            | (dJ_zero > opts.dJ_counter_limit)
+        return (Xn, Un, K, d, J, dJ, grad, rho_c, drho_c, dJ_zero,
+                it + 1, converged)
+
+    init = (X0, U0, K0, d0, J0, jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(jnp.inf, dtype), rho, drho,
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.asarray(False))
+    (X, U, K, d, J, dJ, grad, rho, drho, dJ_zero, it, conv) = jax.lax.while_loop(
+        cond_fn, body_fn, init
+    )
+    return ILQRResult(X=X, U=U, K=K, d=d, J=J, iterations=it, gradient=grad,
+                      dJ=dJ, rho=rho, drho=drho)
+
+
+def tvlqr_projection(model, expansion_fn, x0, X, U, dt, opts: iLQROptions):
+    """Project a dynamically-infeasible trajectory into feasible space with
+    TVLQR tracking (reference projection!, ilqr_methods.jl:179-190):
+    one backward pass, then a closed-loop rollout with α = 0.
+    """
+    dtype = X.dtype
+    dt_traj = jnp.broadcast_to(jnp.asarray(dt, dtype), (U.shape[0],))
+    A, B = model.jacobian_traj(X[:-1], U, dt_traj)
+    exp = expansion_fn(X, U)
+    rho = jnp.zeros((), dtype)
+    drho = jnp.ones((), dtype)
+    K, d, _, _, _, _ = backward_pass(A, B, exp, rho, drho, opts)
+    Xn, Un, _ = rollout_closed_loop(model, x0, X, U, K, d, 0.0, dt_traj,
+                                    max_state_value=opts.max_state_value,
+                                    max_control_value=opts.max_control_value)
+    return Xn, Un
