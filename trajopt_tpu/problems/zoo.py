@@ -1,0 +1,355 @@
+"""Problem zoo.
+
+TPU-native counterpart of the reference ``Problems`` module (reference
+problems/*.jl, loaded via src/problems.jl:26-37). Each factory returns a
+ready-to-solve ``Problem`` with the same horizon, costs, bounds, obstacle
+fields, and seeds as the reference problem of the same name.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from trajopt_tpu.models import zoo as dynamics
+from trajopt_tpu.models.base import discretize
+from trajopt_tpu.ops.cost import LQRObjective
+from trajopt_tpu.ops.constraints import (
+    ConstraintSetBuilder, bound_constraint, goal_constraint,
+    obstacle_field_constraint, Constraint, sphere_constraint_fn,
+)
+from trajopt_tpu.problem import problem, initial_states
+from trajopt_tpu.utils.interp import interp_rows
+
+
+def doubleintegrator(dtype=jnp.float64):
+    """(reference problems/doubleintegrator.jl): N=21, dt=0.1, u∈[−1.5,1.5]."""
+    model_d = discretize(dynamics.doubleintegrator, "rk3")
+    n, m, N = 2, 1, 21
+    xf = np.array([1.0, 0.0])
+    obj = LQRObjective(np.eye(n), np.eye(m) * 1e-1, np.eye(n), xf, N)
+    cons = ConstraintSetBuilder(N)
+    cons.add(bound_constraint(n, m, u_min=-1.5, u_max=1.5))
+    cons.add(goal_constraint(xf))
+    rng = np.random.default_rng(0)
+    U0 = 0.001 * rng.random((N - 1, m))
+    return problem(model_d, obj, constraints=cons, x0=np.zeros(n), xf=xf,
+                   N=N, dt=0.1, U0=U0, dtype=dtype)
+
+
+def pendulum(dtype=jnp.float64):
+    """(reference problems/pendulum.jl): N=31, dt=0.15, swing-up, u∈[−3,3]."""
+    model_d = discretize(dynamics.pendulum, "rk3")
+    n, m, N = 2, 1, 31
+    xf = np.array([np.pi, 0.0])
+    obj = LQRObjective(np.eye(n) * 1e-3, np.eye(m) * 1e-3, np.eye(n) * 1e-3,
+                       xf, N)
+    cons = ConstraintSetBuilder(N)
+    cons.add(bound_constraint(n, m, u_min=-3.0, u_max=3.0))
+    cons.add(goal_constraint(xf))
+    return problem(model_d, obj, constraints=cons, x0=np.zeros(n), xf=xf,
+                   N=N, dt=0.15, U0=np.ones((N - 1, m)), dtype=dtype)
+
+
+def cartpole(dtype=jnp.float64):
+    """(reference problems/cartpole.jl): N=101, tf=5, swing-up, u∈[−3,3]."""
+    model_d = discretize(dynamics.cartpole, "rk3")
+    n, m, N = 4, 1, 101
+    xf = np.array([0.0, np.pi, 0.0, 0.0])
+    obj = LQRObjective(np.eye(n) * 1e-2, np.eye(m) * 1e-1, np.eye(n) * 100.0,
+                       xf, N)
+    cons = ConstraintSetBuilder(N)
+    cons.add(bound_constraint(n, m, u_min=-3.0, u_max=3.0))
+    cons.add(goal_constraint(xf))
+    return problem(model_d, obj, constraints=cons, x0=np.zeros(n), xf=xf,
+                   N=N, tf=5.0, U0=np.full((N - 1, m), 0.01), dtype=dtype)
+
+
+def doublependulum_problem(dtype=jnp.float64):
+    """(reference problems/doublependulum.jl): N=101, dt=0.01, swing-up."""
+    model_d = discretize(dynamics.doublependulum, "rk3")
+    n, m, N = 4, 2, 101
+    xf = np.array([np.pi, 0.0, 0.0, 0.0])
+    obj = LQRObjective(np.eye(n) * 1e-2, np.eye(m) * 1e-2, np.eye(n) * 100.0,
+                       xf, N)
+    return problem(model_d, obj, x0=np.zeros(n), xf=xf, N=N, dt=0.01,
+                   U0=np.ones((N - 1, m)), dtype=dtype)
+
+
+def acrobot_problem(dtype=jnp.float64):
+    """(reference problems/acrobot.jl): N=151, dt=0.01, goal constraint."""
+    model_d = discretize(dynamics.acrobot, "rk3")
+    n, m, N = 4, 1, 151
+    xf = np.array([np.pi, 0.0, 0.0, 0.0])
+    obj = LQRObjective(np.eye(n) * 1e-2, np.eye(m) * 1e-2, np.eye(n) * 100.0,
+                       xf, N)
+    cons = ConstraintSetBuilder(N)
+    cons.add(goal_constraint(xf))
+    return problem(model_d, obj, constraints=cons, x0=np.zeros(n), xf=xf,
+                   N=N, dt=0.01, U0=np.ones((N - 1, m)), dtype=dtype)
+
+
+def parallel_park(dtype=jnp.float64):
+    """(reference problems/parallel_park.jl): car, N=51, state box + goal."""
+    model_d = discretize(dynamics.car, "rk3")
+    n, m, N = 3, 2, 51
+    xf = np.array([0.0, 1.0, 0.0])
+    obj = LQRObjective(np.eye(n) * 1e-2, np.eye(m) * 1e-2, np.eye(n) * 100.0,
+                       xf, N)
+    u_bnd = 2.0
+    bnd1 = bound_constraint(n, m, u_min=-u_bnd, u_max=u_bnd, label="bnd1")
+    bnd2 = bound_constraint(n, m, x_min=[-0.25, -0.001, -np.inf],
+                            x_max=[0.25, 1.001, np.inf],
+                            u_min=-u_bnd, u_max=u_bnd, label="bnd2")
+    cons = ConstraintSetBuilder(N)
+    cons.add(bnd1, knots=[0])
+    cons.add(bnd2, knots=range(1, N - 1))
+    cons.add(goal_constraint(xf))
+    return problem(model_d, obj, constraints=cons, x0=np.zeros(n), xf=xf,
+                   N=N, dt=0.06, U0=np.ones((N - 1, m)), dtype=dtype)
+
+
+def car_3obs(dtype=jnp.float64):
+    """(reference problems/car_3obs.jl): 3 circular obstacles on the diagonal."""
+    model_d = discretize(dynamics.car, "rk3")
+    n, m, N = 3, 2, 101
+    xf = np.array([1.0, 1.0, 0.0])
+    obj = LQRObjective(np.eye(n), np.eye(m) * 1e-1, np.eye(n) * 100.0, xf, N)
+    circles = [(0.25, 0.25, 0.1), (0.5, 0.5, 0.1), (0.75, 0.75, 0.1)]
+    cons = ConstraintSetBuilder(N)
+    cons.add(obstacle_field_constraint(circles, label="obs"), knots=range(1, N - 1))
+    cons.add(goal_constraint(xf))
+    return problem(model_d, obj, constraints=cons, x0=np.zeros(n), xf=xf,
+                   N=N, dt=0.05, U0=np.full((N - 1, m), 0.01), dtype=dtype)
+
+
+def _escape_circles():
+    """(reference problems/car_escape.jl:20-46): 125 obstacle circles."""
+    r = 0.5
+    s1, s2, s3 = 30, 50, 15
+    circles = []
+    for i in np.linspace(0, 5, s1):
+        circles.append((0.0, i, r))
+    for i in np.linspace(0, 5, s1):
+        circles.append((5.0, i, r))
+    for i in np.linspace(0, 5, s1):
+        circles.append((10.0, i, r))
+    for i in np.linspace(0, 10, s2):
+        circles.append((i, 0.0, r))
+    for i in np.linspace(0, 3, s3):
+        circles.append((i, 5.0, r))
+    for i in np.linspace(5, 8, s3):
+        circles.append((i, 5.0, r))
+    return circles
+
+
+def car_escape(dtype=jnp.float64):
+    """(reference problems/car_escape.jl): 125 circles, infeasible-start seed."""
+    model_d = discretize(dynamics.car, "rk3")
+    n, m, N = 3, 2, 101
+    tf = 3.0
+    x0 = np.array([2.5, 2.5, 0.0])
+    xf = np.array([7.5, 2.5, 0.0])
+    obj = LQRObjective(np.eye(n) * 1e-3, np.eye(m) * 1e-2, np.eye(n) * 100.0,
+                       xf, N)
+    cons = ConstraintSetBuilder(N)
+    cons.add(bound_constraint(n, m, u_min=-5.0, u_max=5.0))
+    cons.add(obstacle_field_constraint(_escape_circles(), label="trap"),
+             knots=range(1, N - 1))
+    cons.add(goal_constraint(xf))
+    prob = problem(model_d, obj, constraints=cons, x0=x0, xf=xf, N=N, tf=tf,
+                   U0=np.ones((N - 1, m)), dtype=dtype)
+    # infeasible-start seed (car_escape.jl:68-71)
+    X_guess = np.array([
+        [2.5, 2.5, 0.0], [4.0, 5.0, 0.785], [5.0, 6.25, 0.0],
+        [7.5, 6.25, -0.261], [9.0, 5.0, -1.57], [7.5, 2.5, 0.0],
+    ]).T
+    X0 = interp_rows(N, tf, X_guess)
+    return initial_states(prob, X0)
+
+
+def quadrotor(dtype=jnp.float64):
+    """(reference problems/quadrotor.jl): 60 m translation, u ≥ 0 bound."""
+    model_d = discretize(dynamics.quadrotor, "rk3")
+    n, m, N = 13, 4, 101
+    x0 = np.zeros(n)
+    x0[0:3] = [0.0, 0.0, 10.0]
+    x0[3] = 1.0
+    xf = np.zeros(n)
+    xf[0:3] = [0.0, 60.0, 10.0]
+    xf[3] = 1.0
+    Q = np.eye(n) * 1e-3
+    Q[3:7, 3:7] = np.eye(4) * 1e-2
+    obj = LQRObjective(Q, np.eye(m) * 1e-4, np.eye(n) * 1000.0, xf, N)
+
+    bnd3 = bound_constraint(n, m, u_min=0.0, label="bnd_u")
+    xf_U = xf.copy()
+    xf_L = xf.copy()
+    xf_U[3:7] = np.inf
+    xf_L[3:7] = -np.inf
+    xf_U[7:10] = 0.0
+    xf_L[7:10] = 0.0
+    xf_U[10:] = np.inf
+    xf_L[10:] = -np.inf
+    bnd_xf = bound_constraint(n, m, x_min=xf_L, x_max=xf_U, label="bnd_xf")
+    cons = ConstraintSetBuilder(N)
+    cons.add(bnd3, knots=range(0, N - 1))
+    cons.add(bnd_xf, knots=[N - 1])
+    return problem(model_d, obj, constraints=cons, x0=x0, xf=xf, N=N, tf=5.0,
+                   U0=np.full((N - 1, m), 0.5 * 9.81 / 4.0), dtype=dtype)
+
+
+def _maze_cylinders():
+    """(reference problems/quadrotor_maze.jl:27-62): 42 cylinders."""
+    r = 2.0
+    cylinders = []
+    l1, l3, l4 = 5, 4, 10
+    for i in np.linspace(-25, -10, l1):
+        cylinders.append((i, 10.0, r))
+    for i in np.linspace(10, 25, l1):
+        cylinders.append((i, 10.0, r))
+    for i in np.linspace(-5, 5, l3):
+        cylinders.append((i, 30.0, r))
+    for i in np.linspace(-25, -10, l1):
+        cylinders.append((i, 50.0, r))
+    for i in np.linspace(10, 25, l1):
+        cylinders.append((i, 50.0, r))
+    for i in np.linspace(10 + 2 * r, 50 - 2 * r, l4):
+        cylinders.append((-25.0, i, r))
+    for i in np.linspace(10 + 2 * r, 50 - 2 * r, l4):
+        cylinders.append((25.0, i, r))
+    return cylinders
+
+
+def quadrotor_maze(dtype=jnp.float64):
+    """(reference problems/quadrotor_maze.jl): ALTRO flagship — 42 cylinder
+    obstacles, state box, terminal velocity box, infeasible-start waypoints."""
+    model_d = discretize(dynamics.quadrotor, "rk3")
+    n, m, N = 13, 4, 101
+    tf = 5.0
+    q0 = [1.0, 0.0, 0.0, 0.0]
+    x0 = np.zeros(n)
+    x0[0:3] = [0.0, 0.0, 10.0]
+    x0[3:7] = q0
+    xf = np.zeros(n)
+    xf[0:3] = [0.0, 60.0, 10.0]
+    xf[3:7] = q0
+    Q = np.eye(n) * 1e-3
+    Q[3:7, 3:7] = np.eye(4) * 1e-2
+    obj = LQRObjective(Q, np.eye(m) * 1e-4, np.eye(n) * 1000.0, xf, N)
+
+    u_min, u_max = 0.0, 50.0
+    x_max = np.full(n, np.inf)
+    x_min = np.full(n, -np.inf)
+    x_max[0:3] = [25.0, np.inf, 20.0]
+    x_min[0:3] = [-25.0, -np.inf, 0.0]
+    bnd1 = bound_constraint(n, m, u_min=u_min, u_max=u_max, label="bnd1")
+    bnd2 = bound_constraint(n, m, u_min=u_min, u_max=u_max, x_min=x_min,
+                            x_max=x_max, label="bnd2")
+    xf_U = xf.copy()
+    xf_L = xf.copy()
+    xf_U[3:7] = np.inf
+    xf_L[3:7] = -np.inf
+    xf_U[7:10] = 0.0
+    xf_L[7:10] = 0.0
+    xf_U[10:] = np.inf
+    xf_L[10:] = -np.inf
+    bnd_xf = bound_constraint(n, m, x_min=xf_L, x_max=xf_U, label="bnd_xf")
+    maze = obstacle_field_constraint(_maze_cylinders(), label="maze",
+                                     inflate=2.0)  # + r_quad
+
+    cons = ConstraintSetBuilder(N)
+    cons.add(bnd1, knots=[0])
+    cons.add(bnd2, knots=range(1, N - 1))
+    cons.add(maze, knots=range(1, N - 1))
+    cons.add(bnd_xf, knots=[N - 1])
+    prob = problem(model_d, obj, constraints=cons, x0=x0, xf=xf, N=N, tf=tf,
+                   U0=np.full((N - 1, m), 0.5 * 9.81 / 4.0), dtype=dtype)
+
+    # infeasible waypoint seed (quadrotor_maze.jl:107-114)
+    X_guess = np.zeros((n, 7))
+    X_guess[:, 0] = x0
+    X_guess[:, 6] = xf
+    X_guess[0:3, 1:6] = np.array([
+        [0, -12.5, -20, -12.5, 0],
+        [15, 20, 30, 40, 45],
+        [10, 10, 10, 10, 10],
+    ])
+    X_guess[3:7, :] = np.array(q0)[:, None]
+    X0 = interp_rows(N, tf, X_guess)
+    return initial_states(prob, X0)
+
+
+def quad_obs(dtype=jnp.float64):
+    """(reference problems/quad_obs.jl): quadrotor + cylinders + spheres."""
+    model_d = discretize(dynamics.quadrotor, "rk3")
+    n, m, N = 13, 4, 101
+    x0 = np.zeros(n)
+    x0[0:3] = [0.0, 0.0, 10.0]
+    x0[3] = 1.0
+    xf = np.zeros(n)
+    xf[0:3] = [0.0, 60.0, 10.0]
+    xf[3] = 1.0
+    Q = np.eye(n) * 1e-3
+    obj = LQRObjective(Q, np.eye(m) * 1e-2, np.eye(n), xf, N)
+
+    r_quad = 2.0
+    cylinders = [(0.0, 10.0, 3.0), (10.0, 30.0, 3.0), (-13.0, 25.0, 2.0),
+                 (5.0, 50.0, 4.0)]
+    spheres = [(0.0, 40.0, 5.0, 2.0), (-5.0, 15.0, 3.0, 1.0),
+               (10.0, 20.0, 7.0, 2.0)]
+    cyl_con = obstacle_field_constraint(cylinders, label="cylinders",
+                                        inflate=r_quad)
+    sph = np.asarray(spheres)
+
+    def sphere_fn(x, u):
+        xc = jnp.asarray(sph[:, 0], x.dtype)
+        yc = jnp.asarray(sph[:, 1], x.dtype)
+        zc = jnp.asarray(sph[:, 2], x.dtype)
+        rs = jnp.asarray(sph[:, 3] + r_quad, x.dtype)
+        return rs**2 - (x[0] - xc)**2 - (x[1] - yc)**2 - (x[2] - zc)**2
+
+    sph_con = Constraint(sphere_fn, len(spheres), "spheres", equality=False,
+                         applies="stage")
+
+    u_min, u_max = 0.0, 50.0
+    x_max = np.full(n, np.inf)
+    x_min = np.full(n, -np.inf)
+    x_max[0:3] = [25.0, np.inf, 20.0]
+    x_min[0:3] = [-25.0, -np.inf, 0.0]
+    bnd_u = bound_constraint(n, m, u_min=u_min, u_max=u_max, label="bnd_u")
+    bnd = bound_constraint(n, m, u_min=u_min, u_max=u_max, x_min=x_min,
+                           x_max=x_max, label="bnd")
+    xf_U = xf.copy()
+    xf_L = xf.copy()
+    xf_U[3:7] = np.inf
+    xf_L[3:7] = -np.inf
+    xf_U[7:10] = 0.0
+    xf_L[7:10] = 0.0
+    xf_U[10:] = np.inf
+    xf_L[10:] = -np.inf
+    bnd_xf = bound_constraint(n, m, x_min=xf_L, x_max=xf_U, label="bnd_xf")
+
+    cons = ConstraintSetBuilder(N)
+    cons.add(bnd_u, knots=[0])
+    cons.add(bnd, knots=range(1, N - 1))
+    cons.add(cyl_con, knots=range(1, N - 1))
+    cons.add(sph_con, knots=range(1, N - 1))
+    cons.add(bnd_xf, knots=[N - 1])
+    return problem(model_d, obj, constraints=cons, x0=x0, xf=xf, N=N, tf=5.0,
+                   U0=np.full((N - 1, m), 0.5 * 9.81 / 4.0), dtype=dtype)
+
+
+PROBLEMS = {
+    "doubleintegrator": doubleintegrator,
+    "pendulum": pendulum,
+    "cartpole": cartpole,
+    "doublependulum": doublependulum_problem,
+    "acrobot": acrobot_problem,
+    "parallel_park": parallel_park,
+    "car_3obs": car_3obs,
+    "car_escape": car_escape,
+    "quadrotor": quadrotor,
+    "quadrotor_maze": quadrotor_maze,
+    "quad_obs": quad_obs,
+}

@@ -403,6 +403,10 @@ def altro_solve(prob: Problem, opts: ALTROOptions = ALTROOptions(),
                 dt_out = res2.U[:, -1] ** 2
 
     tt = jnp.sum(dt_out)
+    # final violation on the ORIGINAL constraints (reference max_violation(prob)
+    # post-solve, problem.jl:242-267 — the augmented rows are internal)
+    C_out = prob.constraints.evaluate(X_out, U_out)
+    c_max = prob.constraints.max_violation(C_out)
     return ALTROResult(X=X_out, U=U_out, J=J, c_max=c_max,
                        iterations=res_al.iterations,
                        iterations_total=iterations_total,
