@@ -1,0 +1,93 @@
+"""Parallel layer tests: associative-scan Riccati equivalence (the rebuild's
+sqrt_bp_tests.jl-style oracle), sqrt BP equivalence, sharded batch solve on a
+virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import trajopt_tpu as tt
+from trajopt_tpu.models import zoo
+from trajopt_tpu.ops.cost import cost_expansion
+from trajopt_tpu.solvers.ilqr import backward_pass, iLQROptions
+from trajopt_tpu.parallel.riccati import parallel_backward_pass
+from trajopt_tpu.parallel.batch import (
+    solve_batch, solve_batch_sharded, make_mesh,
+)
+
+
+def _bp_inputs(N=25, seed=5):
+    model_d = tt.discretize(zoo.cartpole, "rk3")
+    n, m = 4, 1
+    rng = np.random.default_rng(seed)
+    X = jnp.asarray(rng.normal(size=(N, n)) * 0.3)
+    U = jnp.asarray(rng.normal(size=(N - 1, m)) * 0.5)
+    A, B = model_d.jacobian_traj(X[:-1], U, 0.05)
+    xf = np.array([0, np.pi, 0, 0.0])
+    obj = tt.LQRObjective(np.eye(n) * 1e-2, np.eye(m) * 1e-1, np.eye(n) * 100.0,
+                          xf, N)
+    exp = cost_expansion(obj, X, U, 0.05)
+    return A, B, exp
+
+
+def test_parallel_riccati_equals_sequential():
+    """Associative-scan Riccati ≡ sequential sweep (K, d, ΔV) to fp64
+    precision — the alternative-algorithm equivalence oracle (reference
+    sqrt_bp_tests.jl:30-85 pattern)."""
+    A, B, exp = _bp_inputs()
+    rho = jnp.zeros(())
+    drho = jnp.ones(())
+    K0, d0, v1_0, v2_0, _, _ = backward_pass(A, B, exp, rho, drho, iLQROptions())
+    K1, d1, v1_1, v2_1, _, _ = parallel_backward_pass(A, B, exp, 0.0)
+    assert np.allclose(K0, K1, atol=1e-9)
+    assert np.allclose(d0, d1, atol=1e-9)
+    assert abs(float(v1_0 - v1_1)) < 1e-8
+    assert abs(float(v2_0 - v2_1)) < 1e-8
+
+
+def test_sqrt_bp_equals_standard():
+    """QR square-root BP ≡ standard BP at ρ=0 (reference sqrt_bp_tests.jl)."""
+    A, B, exp = _bp_inputs()
+    rho = jnp.zeros(())
+    drho = jnp.ones(())
+    K0, d0, v1_0, v2_0, _, _ = backward_pass(A, B, exp, rho, drho, iLQROptions())
+    K1, d1, v1_1, v2_1, _, _ = backward_pass(
+        A, B, exp, rho, drho, iLQROptions(bp_type="sqrt"))
+    assert np.allclose(K0, K1, atol=1e-9)
+    assert np.allclose(d0, d1, atol=1e-9)
+    assert abs(float(v1_0 - v1_1)) < 1e-8
+    assert abs(float(v2_0 - v2_1)) < 1e-8
+
+
+@pytest.mark.parametrize("bp_type", ["sqrt", "parallel"])
+def test_full_solve_all_bp_types(bp_type):
+    from trajopt_tpu.problems import zoo as probs
+    prob = probs.pendulum()
+    res = tt.al_solve(prob, tt.ALOptions(opts_uncon=iLQROptions(bp_type=bp_type)))
+    assert float(res.c_max) < 1e-3
+
+
+def test_sharded_batch_solve():
+    """shard_map over the virtual 8-device CPU mesh: the multi-chip path."""
+    assert len(jax.devices()) == 8, "conftest should give 8 virtual devices"
+    from trajopt_tpu.problems import zoo as probs
+    prob = probs.pendulum()
+    mesh = make_mesh(8)
+    B = 16
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.normal(size=(B, 2)) * 0.2)
+    res, stats = solve_batch_sharded(prob, tt.ALOptions(), x0s, mesh)
+    assert int(stats.n_solved) == B
+    assert float(stats.c_max_worst) < 1e-3
+    assert res.X.shape == (B, 31, 2)
+
+
+def test_vmap_batch_matches_single():
+    """Batched solve reproduces the single solve bit-for-bit-ish."""
+    from trajopt_tpu.problems import zoo as probs
+    prob = probs.pendulum()
+    res1 = tt.al_solve(prob, tt.ALOptions())
+    x0s = jnp.zeros((3, 2))
+    resB = solve_batch(prob, tt.ALOptions(), x0s)
+    assert np.allclose(resB.X[0], res1.X, atol=1e-10)
+    assert np.allclose(resB.U[2], res1.U, atol=1e-10)

@@ -1,0 +1,4 @@
+from trajopt_tpu.parallel.riccati import parallel_backward_pass
+from trajopt_tpu.parallel.batch import (
+    solve_batch, solve_batch_sharded, make_mesh, BatchStats,
+)

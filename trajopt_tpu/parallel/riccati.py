@@ -1,0 +1,157 @@
+"""Time-parallel Riccati recursion via associative scan.
+
+The reference backward pass is a strictly sequential k=N−1…1 Julia loop
+(reference backward_pass.jl:29-79) — O(N) sequential depth. Here the LQR
+subproblem's value functions compose associatively (Särkkä &
+García-Fernández, "Temporal Parallelization of Dynamic Programming", and the
+PAPERS.md "Parallelization of Riccati Recursion"): conditional value
+functions between knots are parametrized by 5-tuples
+
+    V(x, z) = ½(z − Āx − b̄)ᵀ C̄⁻¹ (z − Āx − b̄) + ½ xᵀJx − ηᵀx
+
+which combine with closed-form O(n³) algebra. ``jax.lax.associative_scan``
+evaluates all suffix compositions in O(log N) depth — the time axis becomes
+a parallel dimension (the trajectory-optimization analog of sequence
+parallelism, SURVEY.md §5.7).
+
+The scan consumes the RAW stage expansions (cross terms eliminated by a
+control change of variables) and produces the cost-to-go (S_k, s_k) at every
+knot; gains K, d then come from one batched vmap. With ρ = 0 the result is
+algebraically identical to the sequential sweep (tested to fp64 precision —
+the rebuild's analog of the reference's sqrt-BP-vs-BP oracle,
+sqrt_bp_tests.jl). Regularization ρ is applied to the stage Quu before
+inversion (a 'control'-type regularization; the sequential path regularizes
+the fused Quu, so under active regularization the two sweeps are close but
+not bitwise equal).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from trajopt_tpu.ops.cost import Expansion
+
+
+def _combine(e1, e2):
+    """Associative combination of conditional value-function elements.
+
+    e1 spans [i, k), e2 spans [k, j) (e1 earlier in time). Returns the
+    element spanning [i, j).
+    """
+    A1, b1, C1, eta1, J1 = e1
+    A2, b2, C2, eta2, J2 = e2
+    n = A1.shape[-1]
+    eye = jnp.eye(n, dtype=A1.dtype)
+
+    # D = (I + C1 J2)⁻¹ applied via solves
+    D = eye + C1 @ J2
+    Dinv_A1 = jnp.linalg.solve(D, A1)
+    Dinv_bC = jnp.linalg.solve(D, b1 + C1 @ eta2)
+    Dinv_C1 = jnp.linalg.solve(D, C1)
+
+    A12 = A2 @ Dinv_A1
+    b12 = A2 @ Dinv_bC + b2
+    C12 = A2 @ Dinv_C1 @ A2.T + C2
+    C12 = 0.5 * (C12 + C12.T)
+
+    # (I + J2 C1)⁻¹ = Dᵀ⁻¹ in the transposed sense
+    Et = eye + J2 @ C1
+    Einv_rhs = jnp.linalg.solve(Et, eta2 - J2 @ b1)
+    Einv_J2A1 = jnp.linalg.solve(Et, J2 @ A1)
+
+    eta12 = A1.T @ Einv_rhs + eta1
+    J12 = A1.T @ Einv_J2A1 + J1
+    J12 = 0.5 * (J12 + J12.T)
+    return (A12, b12, C12, eta12, J12)
+
+
+def _stage_elements(A, B, exp: Expansion, rho):
+    """Build per-interval elements from dynamics Jacobians + expansions.
+
+    Cross-term elimination: with stage cost ½xᵀQxx x + Qxᵀx + ½uᵀQuu u
+    + Quᵀu + uᵀQux x and dynamics δx⁺ = Aδx + Bδu, substitute
+    ũ = u + Quu⁻¹Qux x to decouple, then
+
+        Ā = A − B Quu⁻¹ Qux,  b̄ = −B Quu⁻¹ Qu,  C̄ = B Quu⁻¹ Bᵀ,
+        η = −(Qx − QuxᵀQuu⁻¹Qu),  J = Qxx − QuxᵀQuu⁻¹Qux.
+    """
+    m = B.shape[-1]
+    eye_m = jnp.eye(m, dtype=B.dtype)
+
+    def make(A_k, B_k, lx, lu, lxx, luu, lux):
+        Quu = luu + rho * eye_m
+        Quu = 0.5 * (Quu + Quu.T)
+        Lc = jnp.linalg.cholesky(Quu)
+        rhs = jnp.concatenate([lux, lu[:, None], B_k.T], axis=1)
+        sol = jax.scipy.linalg.cho_solve((Lc, True), rhs)
+        Ki = sol[:, : lux.shape[1]]        # Quu⁻¹ Qux
+        di = sol[:, lux.shape[1]]          # Quu⁻¹ Qu
+        BtQ = sol[:, lux.shape[1] + 1:]    # Quu⁻¹ Bᵀ
+
+        Abar = A_k - B_k @ Ki
+        bbar = -B_k @ di
+        Cbar = B_k @ BtQ
+        Cbar = 0.5 * (Cbar + Cbar.T)
+        eta = -(lx - Ki.T @ lu)
+        J = lxx - lux.T @ Ki
+        J = 0.5 * (J + J.T)
+        return (Abar, bbar, Cbar, eta, J)
+
+    return jax.vmap(make)(A, B, exp.x[:-1], exp.u, exp.xx[:-1], exp.uu, exp.ux)
+
+
+def parallel_backward_pass(A, B, exp: Expansion, rho=0.0):
+    """Compute cost-to-go (S, s) at all knots and gains (K, d, ΔV) with
+    O(log N) sequential depth.
+
+    Returns (K: (N-1,m,n), d: (N-1,m), dV1, dV2, S: (N,n,n), s: (N,n)).
+    """
+    n = A.shape[-1]
+    Nm1 = A.shape[0]
+    dtype = A.dtype
+
+    elems = _stage_elements(A, B, exp, jnp.asarray(rho, dtype))
+
+    # terminal element: pure state cost at knot N
+    zero_n = jnp.zeros((1, n, n), dtype)
+    term = (
+        zero_n,                                   # Ā = 0
+        jnp.zeros((1, n), dtype),                 # b̄ = 0
+        zero_n,                                   # C̄ = 0
+        -exp.x[-1][None],                         # η = −lxN
+        exp.xx[-1][None],                         # J = lxxN
+    )
+    elems = tuple(jnp.concatenate([a, t], axis=0) for a, t in zip(elems, term))
+
+    # reverse associative scan: suffix composition e_k ⊗ e_{k+1} ⊗ … ⊗ e_N.
+    # NOTE jax reverse=True passes the LATER-in-time composite as the first
+    # argument, so swap into _combine's (earlier, later) convention.
+    suffix = jax.lax.associative_scan(
+        lambda later, earlier: jax.vmap(_combine)(earlier, later),
+        elems, reverse=True)
+    _, _, _, eta_all, J_all = suffix
+
+    # V_k(x) = ½ xᵀ S_k x + s_kᵀ x with s = −η (value gradient at δx = 0,
+    # matching the sequential sweep's S[k].x)
+    S = J_all
+    s = -eta_all
+
+    # gains from the cost-to-go at k+1 (same algebra as the sequential sweep,
+    # backward_pass.jl:33-67, evaluated in one vmap)
+    def gains(A_k, B_k, lx, lu, lxx, luu, lux, S1, s1):
+        Qu = lu + B_k.T @ s1
+        Qux = lux + B_k.T @ S1 @ A_k
+        Quu = luu + B_k.T @ S1 @ B_k + rho * jnp.eye(B_k.shape[-1], dtype=dtype)
+        Quu = 0.5 * (Quu + Quu.T)
+        Lc = jnp.linalg.cholesky(Quu)
+        rhs = jnp.concatenate([Qux, Qu[:, None]], axis=1)
+        sol = jax.scipy.linalg.cho_solve((Lc, True), rhs)
+        K_k = -sol[:, :-1]
+        d_k = -sol[:, -1]
+        dV1_k = d_k @ Qu
+        dV2_k = 0.5 * d_k @ (Quu @ d_k)
+        return K_k, d_k, dV1_k, dV2_k
+
+    K, d, dV1s, dV2s = jax.vmap(gains)(
+        A, B, exp.x[:-1], exp.u, exp.xx[:-1], exp.uu, exp.ux, S[1:], s[1:])
+    return K, d, jnp.sum(dV1s), jnp.sum(dV2s), S, s

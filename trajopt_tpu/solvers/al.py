@@ -54,6 +54,27 @@ class ALResult(NamedTuple):
     iterations: jnp.ndarray
     iterations_total: jnp.ndarray
     gradient: jnp.ndarray
+    history: dict  # per-outer-iteration stats arrays (reference stats dicts,
+    #                augmented_lagrangian_methods.jl:79-97); render with
+    #                utils.logging.print_al_history
+
+
+def _empty_history(iterations: int, dtype):
+    z = jnp.zeros((iterations,), dtype)
+    return {
+        "cost": z, "c_max": z, "penalty_max": z, "gradient": z,
+        "iterations_inner": jnp.zeros((iterations,), jnp.int32),
+    }
+
+
+def _record_history(hist, it, J, c_max, penalty_max, inner, grad):
+    return {
+        "cost": hist["cost"].at[it].set(J),
+        "c_max": hist["c_max"].at[it].set(c_max),
+        "penalty_max": hist["penalty_max"].at[it].set(penalty_max),
+        "gradient": hist["gradient"].at[it].set(grad),
+        "iterations_inner": hist["iterations_inner"].at[it].set(inner),
+    }
 
 
 def al_cost_fns(obj, cs: ConstraintSet, dt_traj, lam, mu, tol=0.0):
@@ -144,10 +165,16 @@ def al_solve(
                          cost_tol=opts.cost_tolerance,
                          grad_tol=opts.gradient_norm_tolerance)
         zp = jnp.zeros((prob.N, 0), dtype)
+        hist = _empty_history(1, dtype)
+        hist = _record_history(hist, 0, res.J, jnp.zeros((), dtype),
+                               jnp.zeros((), dtype), res.iterations,
+                               res.gradient)
+        hist["iterations"] = jnp.ones((), jnp.int32)
         return ALResult(X=res.X, U=res.U, lam=zp, mu=zp, C=zp,
                         c_max=jnp.zeros((), dtype), J=res.J,
                         iterations=jnp.ones((), jnp.int32),
-                        iterations_total=res.iterations, gradient=res.gradient)
+                        iterations_total=res.iterations, gradient=res.gradient,
+                        history=hist)
 
     N, P = cs.N, cs.P
     lam0 = jnp.zeros((N, P), dtype)
@@ -167,11 +194,11 @@ def al_solve(
                           cost_tol=cost_tol, grad_tol=grad_tol)
 
     def cond_fn(st):
-        X, U, lam, mu, c_max, J, it, it_total, grad, converged = st
+        X, U, lam, mu, c_max, J, it, it_total, grad, converged, hist = st
         return (~converged) & (it < opts.iterations)
 
     def body_fn(st):
-        X, U, lam, mu, c_max, J, it, it_total, grad, _ = st
+        X, U, lam, mu, c_max, J, it, it_total, grad, _, hist = st
 
         # tolerance stitching (reference set_tolerances!, :39-50)
         last = it == opts.iterations - 1
@@ -189,15 +216,19 @@ def al_solve(
         converged = c_max < ctol
         if opts.kickout_max_penalty:
             converged = converged | (jnp.max(mu) >= opts.penalty_max)
+        hist = _record_history(hist, it, res.J, c_max, jnp.max(mu),
+                               res.iterations, res.gradient)
         return (res.X, res.U, lam, mu, c_max, res.J, it + 1,
-                it_total + res.iterations, res.gradient, converged)
+                it_total + res.iterations, res.gradient, converged, hist)
 
     big = jnp.asarray(jnp.inf, dtype)
     init = (prob.X, prob.U, lam0, mu0, big, big,
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), big,
-            jnp.asarray(False))
-    X, U, lam, mu, c_max, J, it, it_total, grad, conv = jax.lax.while_loop(
-        cond_fn, body_fn, init)
+            jnp.asarray(False), _empty_history(opts.iterations, dtype))
+    X, U, lam, mu, c_max, J, it, it_total, grad, conv, hist = \
+        jax.lax.while_loop(cond_fn, body_fn, init)
+    hist["iterations"] = it
     C = cs.evaluate(X, U)
     return ALResult(X=X, U=U, lam=lam, mu=mu, C=C, c_max=c_max, J=J,
-                    iterations=it, iterations_total=it_total, gradient=grad)
+                    iterations=it, iterations_total=it_total, gradient=grad,
+                    history=hist)

@@ -46,9 +46,14 @@ def solve(prob: Problem, opts) -> tuple[Problem, SolverStats]:
             J=res.J, c_max=res.c_max, iterations=res.iterations,
             iterations_total=res.iterations_total, gradient=res.gradient)
     if isinstance(opts, iLQROptions):
-        res = al_solve(prob, ALOptions(opts_uncon=opts,
-                                       cost_tolerance=opts.cost_tolerance,
-                                       gradient_norm_tolerance=opts.gradient_norm_tolerance))
+        # plain iLQR ignores constraints (reference iLQRSolver solves the
+        # unconstrained problem regardless, ilqr_methods.jl:3-45)
+        from trajopt_tpu.ops.constraints import empty_constraints
+
+        prob_uncon = update_problem(prob, constraints=empty_constraints(prob.N))
+        res = al_solve(prob_uncon, ALOptions(
+            opts_uncon=opts, cost_tolerance=opts.cost_tolerance,
+            gradient_norm_tolerance=opts.gradient_norm_tolerance))
         prob_out = update_problem(prob, X=res.X, U=res.U)
         return prob_out, SolverStats(
             J=res.J, c_max=res.c_max, iterations=res.iterations,

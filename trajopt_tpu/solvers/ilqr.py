@@ -54,6 +54,12 @@ class iLQROptions:
     max_control_value: float = 1e8
     gradient_type: str = "todorov"
     bp_max_attempts: int = 50  # bound on non-PD retry sweeps (new; ref loops unboundedly)
+    # backward-pass implementation: 'scan' = sequential lax.scan (reference
+    # semantics), 'parallel' = associative-scan Riccati (O(log N) depth,
+    # SURVEY.md §5.7), 'sqrt' = QR square-root pass (reference
+    # _backwardpass_sqrt!, fp32-conditioning friendly). square_root=True is
+    # an alias for bp_type='sqrt'.
+    bp_type: str = "scan"
 
 
 class ILQRResult(NamedTuple):
@@ -84,6 +90,88 @@ def reg_decrease(rho, drho, opts: iLQROptions):
     return rho, drho
 
 
+def sqrt_sweep(A, B, exp: Expansion, rho_val):
+    """QR square-root Riccati sweep (reference _backwardpass_sqrt!,
+    backward_pass.jl:87-169), reformulated TPU-first: instead of
+    chol_plus/lowrankdowndate chains, each step does ONE QR of the stacked
+    square root of the joint (u, x) Hessian
+
+        M = [ chol([[luu, lux],[luxᵀ, lxx]]) ;  Ssqrt·[B A] ;  √ρ·[I_m 0] ]
+
+    whose R factor's blocks give Ruu (with RuuᵀRuu = Quu_reg),
+    Rux (RuuᵀRux = Qux) and Rxx (RxxᵀRxx = the Schur complement = next Sxx) —
+    no squaring of the value function through time, and no downdates.
+    Divergence from the reference: the regularization is folded into the same
+    factorization (the reference keeps the value update unregularized); at
+    ρ = 0 the sweeps agree to machine precision.
+
+    Returns (K, d, dV1, dV2, fail).
+    """
+    n = A.shape[-1]
+    m = B.shape[-1]
+    dtype = A.dtype
+
+    def stage_sqrt(luu, lux, lxx):
+        joint = jnp.block([[luu, lux], [lux.T, lxx]])
+        joint = 0.5 * (joint + joint.T)
+        L = jnp.linalg.cholesky(joint)
+        return L.T  # upper (m+n, m+n), column order [u, x]
+
+    Mstage = jax.vmap(stage_sqrt)(exp.uu, exp.ux, exp.xx[:-1])
+    sqrt_rho = jnp.sqrt(rho_val)
+    reg_rows = jnp.concatenate(
+        [jnp.eye(m, dtype=dtype), jnp.zeros((m, n), dtype)], axis=1)
+
+    SsqrtN = jnp.linalg.cholesky(
+        0.5 * (exp.xx[-1] + exp.xx[-1].T)
+        + 1e-14 * jnp.eye(n, dtype=dtype)).T
+
+    def bp_step(carry, inp):
+        Sx, Ssqrt, dV1, dV2, fail = carry
+        A_k, B_k, lx, lu, Mk = inp
+
+        BA = jnp.concatenate([B_k, A_k], axis=1)         # (n, m+n)
+        M = jnp.concatenate([Mk, Ssqrt @ BA, sqrt_rho * reg_rows], axis=0)
+        R = jnp.linalg.qr(M, mode="r")
+        Ruu = R[:m, :m]
+        Rux = R[:m, m:]
+        Rxx = R[m:, m:]
+
+        diag = jnp.abs(jnp.diag(Ruu))
+        fail_k = (jnp.min(diag) / jnp.maximum(jnp.max(diag), 1e-300)) < 1e-8
+        fail_k = fail_k | jnp.any(jnp.isnan(R))
+
+        Qx = lx + A_k.T @ Sx
+        Qu = lu + B_k.T @ Sx
+
+        K_k = -jax.scipy.linalg.solve_triangular(Ruu, Rux, lower=False)
+        d_k = -jax.scipy.linalg.solve_triangular(
+            Ruu,
+            jax.scipy.linalg.solve_triangular(Ruu.T, Qu, lower=True),
+            lower=False)
+        K_k = jnp.where(fail_k, jnp.zeros_like(K_k), K_k)
+        d_k = jnp.where(fail_k, jnp.zeros_like(d_k), d_k)
+
+        Qux = Ruu.T @ Rux
+        RuuK = Ruu @ K_k
+        Ruud = Ruu @ d_k
+        Sx_new = Qx + K_k.T @ (Ruu.T @ Ruud) + K_k.T @ Qu + Qux.T @ d_k
+        Ssqrt_new = Rxx
+
+        dV1 = dV1 + d_k @ Qu
+        dV2 = dV2 + 0.5 * Ruud @ Ruud
+        return (Sx_new, Ssqrt_new, dV1, dV2, fail | fail_k), (K_k, d_k)
+
+    zero = jnp.zeros((), dtype)
+    (Sx, Ssqrt, dV1, dV2, fail), (K, d) = jax.lax.scan(
+        bp_step,
+        (exp.x[-1], SsqrtN, zero, zero, jnp.asarray(False)),
+        (A, B, exp.x[:-1], exp.u, Mstage),
+        reverse=True,
+    )
+    return K, d, dV1, dV2, fail
+
+
 def backward_pass(A, B, exp: Expansion, rho, drho, opts: iLQROptions):
     """Riccati/DDP sweep (reference _backwardpass!, backward_pass.jl:9-85).
 
@@ -96,9 +184,23 @@ def backward_pass(A, B, exp: Expansion, rho, drho, opts: iLQROptions):
     """
     n = A.shape[-1]
     m = B.shape[-1]
-    f32eps = jnp.finfo(A.dtype).eps
 
-    def sweep(rho_val):
+    if opts.square_root or opts.bp_type == "sqrt":
+        def sweep(rho_val):
+            return sqrt_sweep(A, B, exp, rho_val)
+    elif opts.bp_type == "parallel":
+        from trajopt_tpu.parallel.riccati import parallel_backward_pass
+
+        def sweep(rho_val):
+            K, d, dV1, dV2, _, _ = parallel_backward_pass(A, B, exp, rho_val)
+            fail = jnp.any(jnp.isnan(K)) | jnp.any(jnp.isnan(d))
+            K = jnp.where(fail, jnp.zeros_like(K), K)
+            d = jnp.where(fail, jnp.zeros_like(d), d)
+            return K, d, dV1, dV2, fail
+    else:
+        sweep = None  # sequential scan below
+
+    def _scan_sweep(rho_val):
         SxN = exp.x[-1]
         SxxN = exp.xx[-1]
 
@@ -149,6 +251,9 @@ def backward_pass(A, B, exp: Expansion, rho, drho, opts: iLQROptions):
             reverse=True,
         )
         return K, d, dV1, dV2, fail
+
+    if sweep is None:
+        sweep = _scan_sweep
 
     K0, d0, dV1_0, dV2_0, fail0 = sweep(rho)
 
