@@ -1,0 +1,122 @@
+"""Benchmark suite.
+
+TPU-native counterpart of the reference BenchmarkTools suite
+(reference benchmark/benchmarks.jl:8-51, benchmark/car_benchmarks.jl etc.):
+the same problem × solver matrix — {doubleintegrator, pendulum, cartpole,
+acrobot, parallel_park, car_3obs, car_escape, quadrotor, quadrotor_maze}
+× {iLQR, AL-iLQR, ALTRO, DIRCOL} — timed on the current JAX backend.
+
+Usage:
+    python benchmark/benchmarks.py [--problems pendulum,cartpole]
+                                   [--solvers al,altro] [--batch 16]
+Prints one JSON line per (problem, solver) with wall time, iterations, and
+solution quality, plus batched-throughput entries (solves/s) for the AL path.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def run_case(name, solver_name, batch=0):
+    import jax
+    import jax.numpy as jnp
+    import trajopt_tpu as tt
+    from trajopt_tpu.problems import zoo as probs
+    from trajopt_tpu.solvers import altro as alt
+    from trajopt_tpu.solvers.dircol import DIRCOLOptions, dircol_solve
+    from trajopt_tpu.parallel.batch import solve_batch
+
+    on_tpu = jax.default_backend() != "cpu"
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    prob = probs.PROBLEMS[name](dtype=dtype)
+
+    infeasible = bool(np.all(np.isfinite(np.asarray(prob.X))))
+
+    def do_solve():
+        if solver_name == "ilqr":
+            prob_u = tt.update_problem(
+                prob, constraints=tt.ConstraintSet.build([], prob.N),
+                X=jnp.full_like(prob.X, jnp.nan).at[0].set(prob.x0))
+            return tt.al_solve(prob_u, tt.ALOptions())
+        if solver_name == "al":
+            p = prob
+            if infeasible:
+                p = tt.update_problem(
+                    prob, X=jnp.full_like(prob.X, jnp.nan).at[0].set(prob.x0))
+            return tt.al_solve(p, tt.ALOptions())
+        if solver_name == "altro":
+            return alt.altro_solve(prob, alt.ALTROOptions())
+        if solver_name == "dircol":
+            return dircol_solve(prob, DIRCOLOptions(
+                feasibility_tolerance=1e-6))
+        raise ValueError(solver_name)
+
+    # warmup (compile) + timed reps
+    res = do_solve()
+    jax.block_until_ready(res.X)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = do_solve()
+        jax.block_until_ready(res.X)
+    wall = (time.perf_counter() - t0) / reps
+
+    out = {
+        "problem": name,
+        "solver": solver_name,
+        "wall_s": round(wall, 4),
+        "c_max": float(getattr(res, "c_max", np.nan)),
+        "J": float(res.J),
+        "iterations": int(np.asarray(getattr(res, "iterations_total",
+                                             getattr(res, "iterations", 0)))),
+        "device": jax.default_backend(),
+    }
+    print(json.dumps(out))
+
+    if batch and solver_name == "al":
+        x0s = jnp.broadcast_to(prob.x0, (batch,) + prob.x0.shape)
+        fn = jax.jit(lambda xs: solve_batch(prob, tt.ALOptions(), xs))
+        r = fn(x0s)
+        jax.block_until_ready(r.X)
+        t0 = time.perf_counter()
+        r = fn(x0s)
+        jax.block_until_ready(r.X)
+        dt_b = time.perf_counter() - t0
+        print(json.dumps({
+            "problem": name, "solver": "al_batched", "batch": batch,
+            "solves_per_s": round(batch / dt_b, 2),
+            "device": jax.default_backend(),
+        }))
+
+
+DEFAULT_PROBLEMS = ["doubleintegrator", "pendulum", "cartpole",
+                    "parallel_park", "car_3obs", "car_escape", "quadrotor"]
+DEFAULT_SOLVERS = ["ilqr", "al", "altro"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--problems", default=",".join(DEFAULT_PROBLEMS))
+    ap.add_argument("--solvers", default=",".join(DEFAULT_SOLVERS))
+    ap.add_argument("--batch", type=int, default=0)
+    args = ap.parse_args()
+    for p in args.problems.split(","):
+        for s in args.solvers.split(","):
+            try:
+                run_case(p, s, batch=args.batch)
+            except Exception as e:  # keep the matrix running
+                print(json.dumps({"problem": p, "solver": s,
+                                  "error": str(e)[:200]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""IROS 2019 benchmark reproduction (reference examples/IROS_2019/*.jl).
+
+Runs ALTRO (AL-iLQR + projected Newton) and the native DIRCOL on the paper's
+problem set with the paper's solver options, reporting wall time, constraint
+violation, and cost — the reference compares ALTRO vs Ipopt vs SNOPT; here
+DIRCOL-native plays the interior-point role.
+
+Usage: python examples/iros_2019.py [problem ...]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import sys
+import time
+
+import numpy as np
+
+import trajopt_tpu as tt
+from trajopt_tpu.problems import zoo as probs
+from trajopt_tpu.solvers import altro as alt
+from trajopt_tpu.solvers.dircol import DIRCOLOptions, dircol_solve
+from trajopt_tpu.solvers.projected_newton import PNOptions
+
+MAX_VIOL = 1e-8
+
+# per-problem ALTRO options from the IROS scripts
+OPTS = {
+    "pendulum": dict(al=dict(), altro=dict(projected_newton=True,
+                                           projected_newton_tolerance=1e-3)),
+    "cartpole": dict(al=dict(cost_tolerance=1e-6,
+                             cost_tolerance_intermediate=1e-4),
+                     altro=dict(projected_newton=True,
+                                projected_newton_tolerance=1e-3)),
+    "parallel_park": dict(al=dict(), altro=dict(projected_newton=True,
+                                                projected_newton_tolerance=1e-3)),
+    "car_escape": dict(
+        al=dict(cost_tolerance=1e-6, cost_tolerance_intermediate=1e-2,
+                penalty_scaling=50.0, penalty_initial=10.0),
+        altro=dict(R_inf=1e-1, resolve_feasible_problem=False,
+                   projected_newton=True, projected_newton_tolerance=1e-3)),
+    "quadrotor": dict(al=dict(), altro=dict(projected_newton=True,
+                                            projected_newton_tolerance=1e-3)),
+    "quadrotor_maze": dict(
+        al=dict(iterations=40, cost_tolerance=1e-5,
+                cost_tolerance_intermediate=1e-4),
+        altro=dict(R_inf=1e-8, resolve_feasible_problem=False,
+                   projected_newton=True, projected_newton_tolerance=1e-4)),
+    "kuka_obstacles": dict(
+        al=dict(iterations=20, cost_tolerance=1e-6,
+                cost_tolerance_intermediate=1e-5, penalty_scaling=50.0,
+                penalty_initial=0.01),
+        altro=dict()),
+}
+
+
+def run(name):
+    import jax
+
+    prob = probs.PROBLEMS[name]()
+    o = OPTS.get(name, dict(al=dict(), altro=dict()))
+    opts_al = tt.ALOptions(constraint_tolerance=MAX_VIOL, **o["al"])
+    opts = alt.ALTROOptions(
+        opts_al=opts_al,
+        opts_pn=PNOptions(feasibility_tolerance=MAX_VIOL),
+        **o["altro"])
+
+    t0 = time.perf_counter()
+    res = alt.altro_solve(prob, opts)
+    jax.block_until_ready(res.X)
+    t_altro = time.perf_counter() - t0
+    print(f"{name:>16} ALTRO : {t_altro:7.2f}s  c_max={float(res.c_max):.2e}"
+          f"  J={float(res.J):10.4f}  iters={int(res.iterations_total)}")
+
+    if name not in ("quadrotor_maze", "kuka_obstacles"):  # heavy for dircol
+        t0 = time.perf_counter()
+        resd = dircol_solve(prob, DIRCOLOptions(feasibility_tolerance=MAX_VIOL))
+        jax.block_until_ready(resd.X)
+        t_dircol = time.perf_counter() - t0
+        print(f"{name:>16} DIRCOL: {t_dircol:7.2f}s  "
+              f"defect={float(resd.defect_max):.2e} "
+              f"c_max={float(resd.c_max):.2e}  J={float(resd.J):10.4f}")
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["pendulum", "cartpole", "parallel_park",
+                             "car_escape", "quadrotor"]
+    for nm in names:
+        run(nm)

@@ -95,3 +95,16 @@ def test_car_escape_altro_pn():
     res = alt.altro_solve(prob, opts)
     assert float(res.c_max) < 1e-6
     assert np.linalg.norm(np.asarray(res.X[-1]) - np.asarray(prob.xf)) < 1e-4
+
+
+def test_kuka_obstacles_altro():
+    """7-DOF arm among obstacles (reference problems/kuka_obstacles.jl +
+    examples/IROS_2019/kuka_obstacles.jl options)."""
+    prob = probs.PROBLEMS["kuka_obstacles"]()
+    opts_al = tt.ALOptions(iterations=20, cost_tolerance=1e-6,
+                           cost_tolerance_intermediate=1e-5,
+                           constraint_tolerance=1e-3,
+                           penalty_scaling=50.0, penalty_initial=0.01)
+    res = alt.altro_solve(prob, alt.ALTROOptions(opts_al=opts_al))
+    assert float(res.c_max) < 1e-3
+    assert np.linalg.norm(np.asarray(res.X[-1]) - np.asarray(prob.xf)) < 1e-3

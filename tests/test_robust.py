@@ -1,0 +1,118 @@
+"""DIRTREL robust solver + rigid-body/URDF layer tests."""
+import jax.numpy as jnp
+import numpy as np
+
+import trajopt_tpu as tt
+from trajopt_tpu.models import zoo, robots
+from trajopt_tpu.models.base import DiscreteModel
+from trajopt_tpu.models.rigidbody import RigidBodyChain
+from trajopt_tpu.solvers.dirtrel import (
+    DIRTRELOptions, RobustSpec, dirtrel_solve, robust_cost,
+    _discretize_uncertain, tvlqr_gains, propagate_ellipsoids,
+)
+from trajopt_tpu.solvers.dircol import dircol_solve, DIRCOLOptions
+
+
+def _uncertain_pendulum_problem():
+    model_c = zoo.pendulum_uncertain
+    model_d = tt.discretize(zoo.pendulum, "rk3")
+    dmodel = DiscreteModel(model_d.step, 2, 1, model=model_c,
+                           integrator="rk3", name="pendulum_unc")
+    n, m, N = 2, 1, 31
+    xf = np.array([np.pi, 0.0])
+    obj = tt.LQRObjective(np.eye(n) * 1e-3, np.eye(m) * 1e-3,
+                          np.eye(n) * 1e-3, xf, N)
+    cons = tt.ConstraintSetBuilder(N)
+    cons.add(tt.bound_constraint(n, m, u_min=-3.0, u_max=3.0))
+    cons.add(tt.goal_constraint(xf))
+    return tt.problem(dmodel, obj, constraints=cons, x0=np.zeros(n), xf=xf,
+                      N=N, dt=0.15, U0=np.ones((N - 1, m)))
+
+
+def _spec():
+    return RobustSpec(
+        E1=jnp.eye(2) * 1e-6, D=jnp.eye(1) * 4e-2,
+        Q_lqr=jnp.eye(2) * 10.0, R_lqr=jnp.eye(1), Qf_lqr=jnp.eye(2) * 100.0,
+        Q_r=jnp.eye(2), R_r=jnp.eye(1), Qf_r=jnp.eye(2))
+
+
+def test_ellipsoid_propagation_shapes_and_psd():
+    prob = _uncertain_pendulum_problem()
+    spec = _spec()
+    step_w = _discretize_uncertain(prob.model.model.dynamics)
+    X = jnp.zeros((31, 2))
+    UN = jnp.ones((31, 1))
+    lE, (E, K) = robust_cost(step_w, X, UN, prob.dt, spec)
+    assert E.shape == (31, 2, 2)
+    assert K.shape == (30, 1, 2)
+    eigs = np.linalg.eigvalsh(np.asarray(E))
+    assert eigs.min() > -1e-12  # PSD
+    assert float(lE) > 0
+
+
+def test_dirtrel_reduces_robust_cost():
+    """The DIRTREL trajectory must have lower closed-loop dispersion than the
+    nominal DIRCOL optimum (the point of the algorithm — reference dirtrel.jl
+    robust_cost objective)."""
+    prob = _uncertain_pendulum_problem()
+    spec = _spec()
+    res = dirtrel_solve(prob, spec, DIRTRELOptions())
+    assert float(res.defect_max) < 1e-5
+    assert float(res.c_max) < 1e-6
+    assert np.linalg.norm(np.asarray(res.X[-1]) - [np.pi, 0.0]) < 1e-5
+
+    res0 = dircol_solve(prob, DIRCOLOptions())
+    step_w = _discretize_uncertain(prob.model.model.dynamics)
+    lE0, _ = robust_cost(step_w, res0.X, res0.U_knots, prob.dt, spec)
+    assert float(res.J_robust) < 0.5 * float(lE0)
+
+
+def test_urdf_chain_matches_analytic_doublependulum():
+    """CRBA/RNEA dynamics == hand-derived manipulator equations
+    (the reference's URDF-vs-analytic cross-check, test/model_tests.jl)."""
+    dp = robots.doublependulum_urdf_model()
+    x = jnp.array([0.3, -0.4, 0.5, 0.2])
+    u = jnp.array([1.0, -0.5])
+    assert np.allclose(np.asarray(dp.dynamics(x, u)),
+                       np.asarray(zoo.doublependulum.dynamics(x, u)),
+                       atol=1e-10)
+
+
+def test_acrobot_urdf_underactuation():
+    a = robots.acrobot_urdf_model()
+    assert a.n == 4 and a.m == 1
+    x = jnp.array([0.3, -0.4, 0.5, 0.2])
+    u1 = jnp.array([1.0])
+    assert np.allclose(np.asarray(a.dynamics(x, u1)),
+                       np.asarray(zoo.acrobot.dynamics(x, u1)), atol=1e-10)
+
+
+def test_kuka_model_gravity_and_fk():
+    kuka = robots.kuka_model()
+    assert kuka.n == 14 and kuka.m == 7
+    q = jnp.zeros(7)
+    # vertical arm: gravity torques ~ 0 except tiny COM offsets
+    bias = kuka.chain.bias_forces(q, jnp.zeros(7))
+    assert float(jnp.max(jnp.abs(bias))) < 5.0
+    pts, ee = kuka.chain.forward_kinematics(q, point=jnp.array([0.0, 0.0, 0.045]))
+    # arm is ~1.3 m tall at zero configuration
+    assert 1.2 < float(ee[2]) < 1.4
+    # mass matrix SPD
+    H = kuka.chain.mass_matrix(jnp.asarray(np.random.default_rng(0).normal(size=7) * 0.5))
+    eigs = np.linalg.eigvalsh(np.asarray(H))
+    assert eigs.min() > 0
+
+
+def test_hold_trajectory_keeps_arm_still():
+    """(reference hold_trajectory, dynamics/kuka.jl:129-145): gravity
+    compensation holds the configuration."""
+    from trajopt_tpu.ops.rollout import rollout
+
+    kuka = robots.kuka_model()
+    q0 = jnp.asarray([0.1, 0.4, -0.2, 0.5, 0.0, -0.3, 0.2])
+    x0 = jnp.concatenate([q0, jnp.zeros(7)])
+    U0 = robots.kuka_hold_trajectory(kuka.chain, q0, 21)
+    dmodel = tt.discretize(kuka, "rk3")
+    X = rollout(dmodel, x0, U0, 0.01)
+    # damping bleeds nothing at rest; gravity comp holds to high accuracy
+    assert float(jnp.max(jnp.abs(X[-1, :7] - q0))) < 1e-3

@@ -125,8 +125,10 @@ ballonbeam = Model(ballonbeam_dynamics, 4, 1, name="ballonbeam")
 # COM at 0.5 m, iyy1=0.083; link2 COM at 1 m, iyy2=0.33; joint damping 0.1)
 # is written analytically via the planar manipulator equations.
 
+# damping = 0: the reference builds these via RigidBodyDynamics.jl, which
+# ignores URDF <dynamics damping> (see models/rigidbody.py)
 _DP = dict(m1=1.0, m2=1.0, l1=1.0, lc1=0.5, lc2=1.0, I1=0.083, I2=0.33,
-           b1=0.1, b2=0.1, g=9.81)
+           b1=0.0, b2=0.0, g=9.81)
 
 
 def _two_link_dynamics(x, tau):
@@ -135,7 +137,8 @@ def _two_link_dynamics(x, tau):
     c2, s2 = jnp.cos(q2), jnp.sin(q2)
 
     # Mass matrix (standard 2R manipulator, e.g. Spong eq. 7.87)
-    a = p["I1"] + p["m1"] * p["lc1"] ** 2 + p["m2"] * (p["l1"] ** 2 + p["lc2"] ** 2)
+    a = p["I1"] + p["I2"] + p["m1"] * p["lc1"] ** 2 \
+        + p["m2"] * (p["l1"] ** 2 + p["lc2"] ** 2)
     b = p["m2"] * p["l1"] * p["lc2"]
     d = p["I2"] + p["m2"] * p["lc2"] ** 2
 

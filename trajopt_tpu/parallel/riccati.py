@@ -27,6 +27,7 @@ not bitwise equal).
 from __future__ import annotations
 
 import jax
+from trajopt_tpu.utils.tree import precise
 import jax.numpy as jnp
 
 from trajopt_tpu.ops.cost import Expansion
@@ -100,6 +101,7 @@ def _stage_elements(A, B, exp: Expansion, rho):
     return jax.vmap(make)(A, B, exp.x[:-1], exp.u, exp.xx[:-1], exp.uu, exp.ux)
 
 
+@precise
 def parallel_backward_pass(A, B, exp: Expansion, rho=0.0):
     """Compute cost-to-go (S, s) at all knots and gains (K, d, ΔV) with
     O(log N) sequential depth.

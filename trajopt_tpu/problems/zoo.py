@@ -340,6 +340,71 @@ def quad_obs(dtype=jnp.float64):
                    U0=np.full((N - 1, m), 0.5 * 9.81 / 4.0), dtype=dtype)
 
 
+def kuka_obstacles(dtype=jnp.float64):
+    """(reference problems/kuka_obstacles.jl): 7-DOF arm, collision bubbles
+    at links 3-6 + end effector vs 3 spheres + 3 cylinders, torque bounds,
+    goal constraint, gravity-compensation seed."""
+    from trajopt_tpu.models import robots
+
+    model = robots.kuka_model()
+    chain = model.chain
+    model_d = discretize(model, "rk3")
+    n, m, N = 14, 7, 41
+    tf = 5.0
+
+    x0 = np.zeros(n)
+    x0[1] = np.pi / 2
+    x0[2] = np.pi / 2
+    x0[3] = np.pi / 2
+    xf = np.zeros(n)
+    xf[0] = np.pi / 2
+    xf[3] = np.pi / 2
+
+    Q = np.diag(np.concatenate([np.ones(7), np.ones(7) * 100.0]))
+    Qf = 10.0 * np.eye(n)
+    R = 1e-2 * np.eye(m)
+    obj = LQRObjective(Q, R, Qf, xf, N)
+
+    # collision bubbles (kuka_obstacles.jl:14-36): link frames 3-6 + EE
+    body_idx = [2, 3, 4, 5]          # moving-joint indices of iiwa_link_3..6
+    radii = np.array([0.1, 0.12, 0.09, 0.09, 0.05])
+    d = 0.25
+    spheres = np.array([[d, 0.0, 1.2, 0.2],
+                        [0.0, -d, 0.4, 0.15],
+                        [0.0, -d, 1.2, 0.15]])
+    cylinders = np.array([[d, -d, 0.08], [d, d, 0.08], [-d, -d, 0.08]])
+
+    def arm_points(q):
+        pts, ee = chain.forward_kinematics(q, point=jnp.array([0.0, 0.0, 0.045],
+                                                             dtype=q.dtype))
+        sel = pts[jnp.asarray(body_idx)]
+        return jnp.concatenate([sel, ee[None]], axis=0)  # (5, 3)
+
+    def fn(x, u):
+        pts = arm_points(x[:7])                            # (5, 3)
+        rs = jnp.asarray(radii, x.dtype)
+        sp = jnp.asarray(spheres, x.dtype)
+        cy = jnp.asarray(cylinders, x.dtype)
+        # spheres: (r_p + r_s)² − |p − c|² ≤ 0
+        dist2_s = jnp.sum((pts[:, None, :] - sp[None, :, :3]) ** 2, axis=-1)
+        cs = (rs[:, None] + sp[None, :, 3]) ** 2 - dist2_s  # (5, 3)
+        # cylinders (x, y only)
+        dist2_c = jnp.sum((pts[:, None, :2] - cy[None, :, :2]) ** 2, axis=-1)
+        cc = (rs[:, None] + cy[None, :, 2]) ** 2 - dist2_c  # (5, 3)
+        return jnp.concatenate([cs.T.reshape(-1), cc.T.reshape(-1)])
+
+    obs = Constraint(fn, 30, "obs", equality=False, applies="stage")
+    bnd = bound_constraint(n, m, u_min=-80.0, u_max=80.0)
+    cons = ConstraintSetBuilder(N)
+    cons.add(bnd, knots=range(0, N - 1))
+    cons.add(obs, knots=range(1, N - 1))
+    cons.add(goal_constraint(xf))
+
+    U0 = robots.kuka_hold_trajectory(chain, x0[:7], N)
+    return problem(model_d, obj, constraints=cons, x0=x0, xf=xf, N=N, tf=tf,
+                   U0=U0, dtype=dtype)
+
+
 PROBLEMS = {
     "doubleintegrator": doubleintegrator,
     "pendulum": pendulum,
@@ -352,4 +417,5 @@ PROBLEMS = {
     "quadrotor": quadrotor,
     "quadrotor_maze": quadrotor_maze,
     "quad_obs": quad_obs,
+    "kuka_obstacles": kuka_obstacles,
 }

@@ -18,7 +18,7 @@ from trajopt_tpu.ops.cost import Expansion, cost_expansion, total_cost
 from trajopt_tpu.ops.constraints import ConstraintSet
 from trajopt_tpu.problem import Problem
 from trajopt_tpu.solvers.ilqr import ILQRResult, iLQROptions, ilqr_solve
-from trajopt_tpu.utils.tree import static_dataclass
+from trajopt_tpu.utils.tree import precise, static_dataclass
 
 
 @static_dataclass
@@ -132,6 +132,7 @@ def max_violation(cs: ConstraintSet, C):
     return cs.max_violation(C)
 
 
+@precise
 def al_solve(
     prob: Problem,
     opts: ALOptions = ALOptions(),

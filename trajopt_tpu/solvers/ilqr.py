@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from trajopt_tpu.ops.cost import Expansion
 from trajopt_tpu.ops.rollout import rollout, rollout_closed_loop
-from trajopt_tpu.utils.tree import static_dataclass
+from trajopt_tpu.utils.tree import precise, static_dataclass
 
 
 @static_dataclass
@@ -347,6 +347,7 @@ def gradient_todorov(d, U):
     return jnp.mean(maxes)
 
 
+@precise
 def ilqr_solve(
     model,
     cost_fn: Callable,
@@ -426,6 +427,7 @@ def ilqr_solve(
                       dJ=dJ, rho=rho, drho=drho)
 
 
+@precise
 def tvlqr_projection(model, expansion_fn, x0, X, U, dt, opts: iLQROptions):
     """Project a dynamically-infeasible trajectory into feasible space with
     TVLQR tracking (reference projection!, ilqr_methods.jl:179-190):

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from trajopt_tpu.problem import Problem
-from trajopt_tpu.utils.tree import static_dataclass
+from trajopt_tpu.utils.tree import precise, static_dataclass
 
 
 @static_dataclass
@@ -218,6 +218,7 @@ def _max_viol(prob: Problem, y, active):
     return jnp.max(jnp.abs(y))
 
 
+@precise
 def pn_solve(prob: Problem, opts: PNOptions = PNOptions()) -> PNResult:
     """Feasibility projection solve (reference solve! + projection_solve!,
     projected_newton.jl:6-20, 200-264). ``solve_type='feasible'`` is the mode

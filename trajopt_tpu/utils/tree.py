@@ -60,3 +60,21 @@ def static_dataclass(cls: type[T]) -> type[T]:
 
 def replace(obj: T, **changes) -> T:
     return dataclasses.replace(obj, **changes)
+
+
+def precise(fn):
+    """Trace ``fn`` under jax.default_matmul_precision('highest').
+
+    TPU matmuls default to bf16 passes; solver linear algebra (Riccati,
+    Cholesky, Jacobians) needs full f32 accumulation — without this the
+    quadrotor iLQR stalls at ~10 m final error instead of ~1e-2 in f32.
+    """
+    import functools
+    import jax
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
