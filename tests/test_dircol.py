@@ -62,3 +62,46 @@ def test_dircol_parallel_park():
     assert float(res.defect_max) < 1e-8
     assert float(res.c_max) < 1e-6
     assert np.linalg.norm(np.asarray(res.X[-1]) - [0.0, 1.0, 0.0]) < 1e-5
+
+
+def test_dircol_mintime_pendulum():
+    """Min-time HS collocation (reference dircol_mintime.jl): warm-started
+    from an AL solve at short dt, total time beats the fixed-time budget."""
+    from trajopt_tpu.solvers.dircol import dircol_mintime_solve
+
+    model_d = tt.discretize(zoo.pendulum, "rk3")
+    n, m, N = 2, 1, 31
+    xf = np.array([np.pi, 0.0])
+    obj = tt.LQRObjective(np.eye(n) * 1e-3, np.eye(m) * 1e-3,
+                          np.eye(n) * 1e-3, xf, N)
+    cons = tt.ConstraintSetBuilder(N)
+    cons.add(tt.bound_constraint(n, m, u_min=-5.0, u_max=5.0))
+    cons.add(tt.goal_constraint(xf))
+    prob_seed = tt.problem(model_d, obj, constraints=cons, x0=np.zeros(n),
+                           xf=xf, N=N, dt=0.04, U0=np.ones((N - 1, m)))
+    res_seed = tt.al_solve(prob_seed, tt.ALOptions())
+    prob = tt.update_problem(prob_seed, X=res_seed.X, U=res_seed.U)
+    res = dircol_mintime_solve(prob, R_min_time=15.0, h_max=0.15, h_min=1e-3,
+                               opts=DIRCOLOptions(iterations_outer=40,
+                                                  iterations_inner=60))
+    assert float(res.tf) < 1.0
+    assert float(res.defect_max) < 1e-7
+    assert float(res.c_max) < 1e-8
+    assert float(res.H.min()) >= 1e-3 - 1e-9
+    assert float(res.H.max()) <= 0.15 + 1e-9
+
+
+def test_pn_optimal_mode():
+    """PN :optimal — KKT step decreases cost while staying feasible
+    (reference newton_step! :optimal path, projected_newton.jl:516-547)."""
+    from trajopt_tpu.solvers.projected_newton import PNOptions, pn_solve
+    from trajopt_tpu.problems import zoo as pz
+
+    prob = pz.pendulum()
+    res = tt.al_solve(prob, tt.ALOptions(constraint_tolerance=1e-3))
+    prob2 = tt.update_problem(prob, X=res.X, U=res.U)
+    r_feas = pn_solve(prob2, PNOptions(feasibility_tolerance=1e-10))
+    r_opt = pn_solve(prob2, PNOptions(feasibility_tolerance=1e-10,
+                                      solve_type="optimal", n_steps=2))
+    assert float(r_opt.viol) < 1e-8
+    assert float(r_opt.J) <= float(r_feas.J) + 1e-6

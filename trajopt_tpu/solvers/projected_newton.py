@@ -304,13 +304,98 @@ def pn_solve(prob: Problem, opts: PNOptions = PNOptions()) -> PNResult:
         return (viol > opts.feasibility_tolerance) & \
             (it < opts.max_projection_iters)
 
-    act0 = active_set(X0, U0)
-    viol0 = jnp.max(jnp.abs(_rhs(prob, X0, U0, act0)))
-    X, U, it, viol = jax.lax.while_loop(
-        outer_cond, lambda c: projection_iteration(c),
-        (X0, U0, jnp.zeros((), jnp.int32), viol0))
+    def project(X, U):
+        act0 = active_set(X, U)
+        viol0 = jnp.max(jnp.abs(_rhs(prob, X, U, act0)))
+        return jax.lax.while_loop(
+            outer_cond, lambda c: projection_iteration(c),
+            (X, U, jnp.zeros((), jnp.int32), viol0))
+
+    X, U, it, viol = project(X0, U0)
+
+    if opts.solve_type == "optimal":
+        # full KKT Newton steps on top of the feasibility projection
+        # (reference newton_step!, projected_newton.jl:501-547)
+        for _ in range(opts.n_steps):
+            X, U, viol = _kkt_newton_step(prob, X, U, active_set, project, opts)
+            it = it + 1
 
     C = cs.evaluate(X, U)
     c_max = cs.max_violation(C)
     J = prob.obj.total(X, U, prob.dt_traj())
     return PNResult(X=X, U=U, J=J, c_max=c_max, viol=viol, iterations=it)
+
+
+def _kkt_newton_step(prob: Problem, X, U, active_set, project, opts: PNOptions):
+    """One primal-dual KKT step (reference multiplier_projection! +
+    solveKKT_Shur + line_search, projected_newton.jl:407-547):
+
+        λ*  = argmin ‖g + Yᵀλ‖        (dual least squares via Y Yᵀ)
+        δλ  = S⁻¹ (y − Y H⁻¹ r),  r = g + Yᵀλ*
+        δz  = −H⁻¹ (r + Yᵀ δλ)
+        line search on α with re-projection to feasibility.
+    """
+    n, m, N = prob.n, prob.m, prob.N
+    dtype = X.dtype
+
+    act = active_set(X, U)
+    Ya, Yb, hinv, g = _assemble(prob, X, U, act)
+    y = _rhs(prob, X, U, act)
+
+    # ---- multiplier projection: solve (Y Yᵀ + ρI) δλ = −Y g
+    ones_h = jnp.ones_like(hinv).at[N - 1, n:].set(0.0)
+    D_I, L_I = _schur_blocks(Ya, Yb, ones_h, opts.ridge)
+    G_I, M_I = block_tridiag_cholesky(D_I, L_I)
+    Yg = _apply_Y(Ya, Yb, g)                       # Y g  (uses H = I)
+    lam = -block_tridiag_solve(G_I, M_I, Yg)       # λ* = −(YYᵀ)⁻¹ Y g
+
+    # ---- KKT Schur step with the diagonal cost metric
+    D, L = _schur_blocks(Ya, Yb, hinv, opts.ridge)
+    G, M = block_tridiag_cholesky(D, L)
+    r = g + _apply_Yt(Ya, Yb, lam)                 # (N, nm)
+    YHr = _apply_Y(Ya, Yb, hinv * r)
+    dlam = block_tridiag_solve(G, M, y - YHr)
+    dz = -hinv * (r + _apply_Yt(Ya, Yb, dlam))
+    dX, dU = _split_z(dz, n, m, N)
+
+    def residual_norm(Xc, Uc, lamc):
+        actc = active_set(Xc, Uc)
+        Ya2, Yb2, _, g2 = _assemble(prob, Xc, Uc, actc)
+        y2 = _rhs(prob, Xc, Uc, actc)
+        res = g2 + _apply_Yt(Ya2, Yb2, lamc)
+        return jnp.sqrt(jnp.sum(res**2) + jnp.sum(y2**2))
+
+    res0 = residual_norm(X, U, lam)
+
+    def ls_body(st):
+        alpha, bestX, bestU, best_res, done, cnt = st
+        Xt = X + alpha * dX
+        Ut = U + alpha * dU
+        # re-project to feasibility (reference line_search calls projection!)
+        Xt, Ut, _, violt = project(Xt, Ut)
+        rest = residual_norm(Xt, Ut, lam + alpha * dlam)
+        ok = rest < res0
+        bestX = jnp.where(ok, Xt, bestX)
+        bestU = jnp.where(ok, Ut, bestU)
+        best_res = jnp.where(ok, rest, best_res)
+        return alpha * 0.5, bestX, bestU, best_res, done | ok, cnt + 1
+
+    def ls_cond(st):
+        alpha, bX, bU, br, done, cnt = st
+        return (~done) & (cnt < 10)
+
+    _, Xn, Un, res1, accepted, _ = jax.lax.while_loop(
+        ls_cond, ls_body,
+        (jnp.ones((), dtype), X, U, res0, jnp.asarray(False),
+         jnp.zeros((), jnp.int32)))
+
+    actn = active_set(Xn, Un)
+    violn = jnp.max(jnp.abs(_rhs(prob, Xn, Un, actn)))
+    return Xn, Un, violn
+
+
+def _apply_Yt(Ya, Yb, lam):
+    """Yᵀ λ without the H⁻¹ factor: (N, nm)."""
+    dz = jnp.einsum("kqn,kq->kn", Yb, lam)
+    dz = dz.at[:-1].add(jnp.einsum("kqn,kq->kn", Ya[1:], lam[1:]))
+    return dz
