@@ -128,3 +128,77 @@ def test_cost_expansion_matches_ad():
     HXX = jax.hessian(lambda X_: total_cost(obj, X_, U, dt))(X)
     for k in range(N):
         assert np.allclose(e.xx[k], HXX[k, :, k, :], atol=1e-12)
+
+
+def test_quadratic_cost_psd_validation():
+    """(reference src/cost.jl:121-127): non-PSD Q raises, non-PD R warns."""
+    import warnings
+
+    with pytest.raises(ValueError):
+        QuadraticCost.create(np.array([[1.0, 0.0], [0.0, -1.0]]), np.eye(1))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        QuadraticCost.create(np.eye(2), np.zeros((1, 1)))
+        assert any("positive definite" in str(x.message) for x in w)
+
+
+def test_generic_objective_matches_quadratic():
+    """GenericObjective via AD reproduces the quadratic objective exactly
+    (reference GenericCost w/ ForwardDiff, cost.jl:239-322)."""
+    from trajopt_tpu.ops.cost import GenericObjective
+
+    n, m, N = 3, 2, 7
+    rng = np.random.default_rng(2)
+    Q = np.eye(n) * 0.5
+    R = np.eye(m) * 0.2
+    Qf = np.eye(n) * 3.0
+    xf = rng.normal(size=n)
+    obj_q = LQRObjective(Q, R, Qf, xf, N)
+
+    Qj, Rj, Qfj, xfj = map(jnp.asarray, (Q, R, Qf, xf))
+
+    def ell(x, u):
+        dx = x - xfj
+        return 0.5 * dx @ Qj @ dx + 0.5 * u @ Rj @ u
+
+    def ellf(x):
+        dx = x - xfj
+        return 0.5 * dx @ Qfj @ dx
+
+    obj_g = GenericObjective(ell=ell, ellf=ellf, N=N)
+    X = jnp.asarray(rng.normal(size=(N, n)))
+    U = jnp.asarray(rng.normal(size=(N - 1, m)))
+    dt = 0.1
+    assert np.allclose(float(obj_q.total(X, U, dt)),
+                       float(obj_g.total(X, U, dt)), atol=1e-12)
+    eq = obj_q.expansion(X, U, dt)
+    eg = obj_g.expansion(X, U, dt)
+    for fld in ("x", "u", "xx", "uu", "ux"):
+        assert np.allclose(getattr(eq, fld), getattr(eg, fld), atol=1e-12)
+
+
+def test_generic_objective_solves():
+    """Full iLQR through a GenericObjective (nonquadratic stage cost)."""
+    from trajopt_tpu.ops.cost import GenericObjective
+    from trajopt_tpu.models.base import discretize
+    from trajopt_tpu.models import zoo as mzoo
+    import trajopt_tpu as tt
+
+    model_d = discretize(mzoo.pendulum, "rk3")
+    N = 31
+    xf = jnp.array([np.pi, 0.0])
+
+    def ell(x, u):
+        dx = x - xf
+        # nonquadratic: quartic velocity penalty
+        return 1e-3 * (dx @ dx) + 1e-3 * (u @ u) + 1e-4 * dx[1] ** 4
+
+    def ellf(x):
+        dx = x - xf
+        return 0.5 * dx @ dx
+
+    obj = GenericObjective(ell=ell, ellf=ellf, N=N)
+    prob = tt.problem(model_d, obj, x0=np.zeros(2), xf=xf, N=N, dt=0.15,
+                      U0=np.ones((N - 1, 1)))
+    res = tt.al_solve(prob, tt.ALOptions())
+    assert np.linalg.norm(np.asarray(res.X[-1]) - np.asarray(xf)) < 0.2

@@ -48,6 +48,20 @@ class QuadraticCost:
 
     @staticmethod
     def create(Q, R=None, H=None, q=None, r=None, c=0.0):
+        # PSD validation on concrete inputs (reference src/cost.jl:121-127:
+        # error on non-PSD Q, warn on non-PD R). Skipped under trace.
+        try:
+            Qc = np.asarray(Q, dtype=np.float64)
+            if np.min(np.linalg.eigvalsh(0.5 * (Qc + Qc.T))) < -1e-10:
+                raise ValueError("Q must be positive semi-definite")
+            if R is not None:
+                Rc = np.asarray(R, dtype=np.float64)
+                if Rc.size and np.min(np.linalg.eigvalsh(
+                        0.5 * (Rc + Rc.T))) <= 0:
+                    import warnings
+                    warnings.warn("R is not positive definite")
+        except TypeError:
+            pass  # traced values: defer to runtime behavior
         Q = jnp.asarray(Q, dtype=jnp.result_type(float))
         n = Q.shape[0]
         m = 0 if R is None else jnp.asarray(R).shape[0]
