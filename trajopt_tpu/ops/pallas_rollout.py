@@ -1,0 +1,189 @@
+"""Pallas TPU kernel: fused batched closed-loop rollout.
+
+The iLQR forward pass re-simulates the trajectory for every line-search
+candidate (reference rollout.jl:2-23). Under XLA this is a `lax.scan` whose
+N~100 sequential iterations each pay loop overhead and HBM round-trips for
+the tiny carry. This kernel runs the ENTIRE sweep inside one Pallas program:
+
+- layout: batch on the LANE axis — states (n, B_tile), gains (m, n, B_tile)
+  — so every dynamics operation is a vector op over 128 lanes,
+- the state carry stays on-chip across the whole time loop,
+- the divergence guard becomes a lane mask.
+
+The dynamics is traced INTO the kernel from a batch-last step function; a
+quadrotor RK3 implementation is provided (`quadrotor_step_lanes`). Grid =
+batch tiles; each program handles 128 problems.
+
+Used as an optional fast path (`rollout_closed_loop_pallas`); numerics are
+validated against ops.rollout.rollout_closed_loop in tests/test_pallas.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+# ------------------------------------------------- batch-last quadrotor rk3
+
+def _quat_mul_lanes(qw, qx, qy, qz, pw, px, py, pz):
+    w = qw * pw - qx * px - qy * py - qz * pz
+    x = qw * px + pw * qx + qy * pz - qz * py
+    y = qw * py + pw * qy + qz * px - qx * pz
+    z = qw * pz + pw * qz + qx * py - qy * px
+    return w, x, y, z
+
+
+def quadrotor_dynamics_lanes(x, u):
+    """Continuous quadrotor dynamics, batch-last: x (13, B), u (4, B).
+
+    Same model as models.zoo.quadrotor_dynamics (reference
+    dynamics/quadrotor.jl) written as lane-parallel ops.
+    """
+    m_, L, kf, km = 0.5, 0.1750, 1.0, 0.0245
+    Jx, Jy, Jz = 0.0023, 0.0023, 0.004
+    g = -9.81
+
+    qw, qx, qy, qz = x[3], x[4], x[5], x[6]
+    qn = jax.lax.rsqrt(qw * qw + qx * qx + qy * qy + qz * qz)
+    qw, qx, qy, qz = qw * qn, qx * qn, qy * qn, qz * qn
+    wx, wy, wz = x[10], x[11], x[12]
+
+    F = kf * (u[0] + u[1] + u[2] + u[3])
+    tx = L * kf * (u[1] - u[3])
+    ty = L * kf * (u[2] - u[0])
+    tz = km * (u[0] - u[1] + u[2] - u[3])
+
+    dqw, dqx, dqy, dqz = _quat_mul_lanes(qw, qx, qy, qz,
+                                         jnp.zeros_like(qw), wx, wy, wz)
+
+    # world-frame thrust: R(q) (0,0,F)/m + g e3
+    ax = 2.0 * (qx * qz + qw * qy) * F / m_
+    ay = 2.0 * (qy * qz - qw * qx) * F / m_
+    az = (1.0 - 2.0 * (qx * qx + qy * qy)) * F / m_ + g
+
+    dwx = (tx - (Jz - Jy) * wy * wz) / Jx
+    dwy = (ty - (Jx - Jz) * wz * wx) / Jy
+    dwz = (tz - (Jy - Jx) * wx * wy) / Jz
+
+    return jnp.stack([x[7], x[8], x[9],
+                      0.5 * dqw, 0.5 * dqx, 0.5 * dqy, 0.5 * dqz,
+                      ax, ay, az, dwx, dwy, dwz])
+
+
+def quadrotor_step_lanes(x, u, dt):
+    """RK3-ZOH step, batch-last (reference integration.jl:149-158)."""
+    k1 = dt * quadrotor_dynamics_lanes(x, u)
+    k2 = dt * quadrotor_dynamics_lanes(x + 0.5 * k1, u)
+    k3 = dt * quadrotor_dynamics_lanes(x - k1 + 2.0 * k2, u)
+    return x + (k1 + 4.0 * k2 + k3) / 6.0
+
+
+# ----------------------------------------------------------------- kernel
+
+def _rollout_kernel(step_lanes, N, dt,
+                    x0_ref, X_ref, U_ref, K_ref, d_ref, alpha_ref,
+                    Xout_ref, Uout_ref, ok_ref):
+    """One batch tile: full closed-loop sweep.
+
+    Block shapes (leading grid dim squeezed by indexing [0]):
+    x0 (1,n,B), X (1,N,n,B), U (1,N-1,m,B), K (1,N-1,m,n,B), d (1,N-1,m,B),
+    alpha (1,1,B) → Xout (1,N,n,B), Uout (1,N-1,m,B), ok (1,1,B) [f32 mask].
+    """
+    alpha = alpha_ref[0, 0]                  # (B,)
+    Xout_ref[0, 0] = x0_ref[0]
+
+    def body(k, carry):
+        x, okm = carry                       # (n, B), (B,) f32 1/0
+        dx = x - X_ref[0, k]
+        Kk = K_ref[0, k]                     # (m, n, B)
+        u = U_ref[0, k] + jnp.sum(Kk * dx[None, :, :], axis=1) \
+            + alpha[None, :] * d_ref[0, k]
+        x_next = step_lanes(x, u, dt)
+        good = (jnp.max(jnp.abs(x_next), axis=0) < 1e8) \
+            & (jnp.max(jnp.abs(u), axis=0) < 1e8)
+        finite = jnp.all(jnp.isfinite(x_next), axis=0)
+        okm = okm * jnp.where(good & finite, 1.0, 0.0)
+        x_next = jnp.where(okm[None, :] > 0, x_next, x)
+        Xout_ref[0, k + 1] = x_next
+        Uout_ref[0, k] = u
+        return x_next, okm
+
+    x = x0_ref[0]
+    okm = jnp.ones_like(alpha)
+    x, okm = jax.lax.fori_loop(0, N - 1, body, (x, okm))
+    ok_ref[0, 0] = okm
+
+
+def rollout_closed_loop_pallas(step_lanes, x0, X, U, K, d, alpha, dt,
+                               interpret=False):
+    """Fused batched closed-loop rollout.
+
+    Batch-first inputs matching ``vmap(rollout_closed_loop)``:
+    x0 (B,n), X (B,N,n), U (B,N-1,m), K (B,N-1,m,n), d (B,N-1,m),
+    alpha (B,). Returns (Xbar (B,N,n), Ubar (B,N-1,m), ok (B,) bool).
+
+    B must be a multiple of 128 (lane width).
+    """
+    Bt = LANES
+    Bsz, N, n = X.shape
+    m = U.shape[-1]
+    assert Bsz % Bt == 0, "batch must be a multiple of 128"
+    nb = Bsz // Bt
+    dtype = X.dtype
+
+    def to_lanes(a):
+        a = a.reshape((nb, Bt) + a.shape[1:])
+        return jnp.moveaxis(a, 1, -1)
+
+    x0_l = to_lanes(x0)                      # (nb, n, Bt)
+    X_l = to_lanes(X)                        # (nb, N, n, Bt)
+    U_l = to_lanes(U)
+    K_l = to_lanes(K)
+    d_l = to_lanes(d)
+    a_l = to_lanes(alpha[:, None])           # (nb, 1, Bt)
+
+    # dt must be a trace-time constant inside the kernel (scalar captures are
+    # not allowed); it is fixed per problem anyway
+    kern = functools.partial(_rollout_kernel, step_lanes, N, float(dt))
+
+    def bspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape,
+                            lambda i, _nd=nd: (i,) + (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    Xout, Uout, ok = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            bspec((n, Bt)),
+            bspec((N, n, Bt)),
+            bspec((N - 1, m, Bt)),
+            bspec((N - 1, m, n, Bt)),
+            bspec((N - 1, m, Bt)),
+            bspec((1, Bt)),
+        ],
+        out_specs=(
+            bspec((N, n, Bt)),
+            bspec((N - 1, m, Bt)),
+            bspec((1, Bt)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, N, n, Bt), dtype),
+            jax.ShapeDtypeStruct((nb, N - 1, m, Bt), dtype),
+            jax.ShapeDtypeStruct((nb, 1, Bt), dtype),
+        ),
+        interpret=interpret,
+    )(x0_l, X_l, U_l, K_l, d_l, a_l)
+
+    def from_lanes(a):
+        a = jnp.moveaxis(a, -1, 1)
+        return a.reshape((Bsz,) + a.shape[2:])
+
+    return from_lanes(Xout), from_lanes(Uout), from_lanes(ok)[:, 0] > 0
