@@ -115,3 +115,14 @@ def discretize(model: Model, integrator: str = "rk3") -> DiscreteModel:
     step = factory(model.dynamics)
     return DiscreteModel(step, model.n, model.m, model=model, integrator=name,
                          name=model.name)
+
+
+def discretize_uncertain(model: Model, integrator: str = "rk3"):
+    """Discrete uncertain step F(x, u, w, dt) for models with r > 0
+    (reference discretize_model on uncertain models, model.jl:607-625).
+    Returns the raw step function (used by DIRTREL and robust rollouts)."""
+    from trajopt_tpu.ops.integration import UNCERTAIN_INTEGRATORS
+
+    if model.r == 0:
+        raise ValueError("model has no disturbance inputs (r == 0)")
+    return UNCERTAIN_INTEGRATORS[integrator](model.dynamics)

@@ -127,3 +127,40 @@ INTEGRATORS = {
     "midpoint_implicit": midpoint_implicit,
     "rk3_implicit": rk3_implicit,
 }
+
+
+# ------------------------------------------------------ uncertain variants
+# (reference midpoint_uncertain / rk3_uncertain / rk4_uncertain,
+# integration.jl:35-42, 126-135, 160-168: disturbance w held over the step)
+
+def midpoint_uncertain(f):
+    def step(x, u, w, dt):
+        xm = x + 0.5 * dt * f(x, u, w)
+        return x + dt * f(xm, u, w)
+    return step
+
+
+def rk3_uncertain(f):
+    def step(x, u, w, dt):
+        k1 = dt * f(x, u, w)
+        k2 = dt * f(x + 0.5 * k1, u, w)
+        k3 = dt * f(x - k1 + 2.0 * k2, u, w)
+        return x + (k1 + 4.0 * k2 + k3) / 6.0
+    return step
+
+
+def rk4_uncertain(f):
+    def step(x, u, w, dt):
+        k1 = dt * f(x, u, w)
+        k2 = dt * f(x + 0.5 * k1, u, w)
+        k3 = dt * f(x + 0.5 * k2, u, w)
+        k4 = dt * f(x + k3, u, w)
+        return x + (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0
+    return step
+
+
+UNCERTAIN_INTEGRATORS = {
+    "midpoint": midpoint_uncertain,
+    "rk3": rk3_uncertain,
+    "rk4": rk4_uncertain,
+}

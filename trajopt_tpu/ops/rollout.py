@@ -23,7 +23,7 @@ def rollout(model, x0, U, dt):
         x_next = model.step(x, u, h)
         return x_next, x_next
 
-    _, X_tail = jax.lax.scan(step, x0, (U, dt), unroll=4)
+    _, X_tail = jax.lax.scan(step, x0, (U, dt))
     return jnp.concatenate([x0[None], X_tail], axis=0)
 
 
@@ -61,7 +61,7 @@ def rollout_closed_loop(model, x0, X, U, K, d, alpha, dt,
         return (x_next, diverged), (x_next, u)
 
     (xf, diverged), (X_tail, Ubar) = jax.lax.scan(
-        step, (x0, jnp.asarray(False)), (X[:-1], U, K, d, dt), unroll=4
+        step, (x0, jnp.asarray(False)), (X[:-1], U, K, d, dt)
     )
     Xbar = jnp.concatenate([x0[None], X_tail], axis=0)
     return Xbar, Ubar, ~diverged

@@ -249,7 +249,6 @@ def backward_pass(A, B, exp: Expansion, rho, drho, opts: iLQROptions):
             (SxN, SxxN, zero, zero, jnp.asarray(False)),
             (A, B, exp.x[:-1], exp.u, exp.xx[:-1], exp.uu, exp.ux),
             reverse=True,
-            unroll=4,
         )
         return K, d, dV1, dV2, fail
 

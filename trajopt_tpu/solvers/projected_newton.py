@@ -399,3 +399,23 @@ def _apply_Yt(Ya, Yb, lam):
     dz = jnp.einsum("kqn,kq->kn", Yb, lam)
     dz = dz.at[:-1].add(jnp.einsum("kqn,kq->kn", Ya[1:], lam[1:]))
     return dz
+
+
+# ------------------------------------------------------------ flat primals
+# (reference Primals pack/unpack, src/solvers/direct/primals.jl:23-142)
+
+def pack_primals(X, U):
+    """Interleave into the flat decision vector Z = [x0;u0;x1;u1;…;xN]."""
+    N, n = X.shape
+    m = U.shape[-1]
+    Zs = jnp.concatenate(
+        [X[:-1], U], axis=1).reshape(-1)
+    return jnp.concatenate([Zs, X[-1]])
+
+
+def unpack_primals(Z, n, m, N):
+    """Inverse of :func:`pack_primals`."""
+    body = Z[: (N - 1) * (n + m)].reshape(N - 1, n + m)
+    X = jnp.concatenate([body[:, :n], Z[-n:][None]], axis=0)
+    U = body[:, n:]
+    return X, U
