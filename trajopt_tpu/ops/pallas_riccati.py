@@ -1,0 +1,211 @@
+"""Pallas TPU kernel: fused batched Riccati backward sweep.
+
+The Riccati recursion is the iLQR hot spot. Under XLA (vmap of a lax.scan)
+each of the N~100 sequential steps pays loop overhead, carry HBM traffic,
+and — dominant in practice — batched LAPACK-style small-matrix factorization
+kernels (measured ~370 µs/step at B=128 before the unrolled-solve rewrite,
+~90 µs/step after). This kernel runs the ENTIRE sweep in one Pallas program:
+
+- layout: batch on the LANE axis — every (n×n) matrix is an (n, n, 128)
+  array, so each scalar op of the recursion is one 128-wide vector op,
+- matmuls are unrolled broadcast-FMA loops over the small contraction dim
+  (n, m ≤ 13) — no MXU needed, the VPU eats them,
+- the Quu solve is the same unrolled positive-definite elimination as
+  solvers.ilqr.posdef_solve, lane-vectorized, with per-lane pivot-failure
+  masks,
+- the cost-to-go carry (Sx, Sxx) never leaves VMEM.
+
+Reference semantics preserved (backward_pass.jl:9-85): regularized gains,
+UNregularized value update, ΔV accumulation, per-problem fail flags for the
+ρ-retry loop (which wraps the kernel from outside with per-lane ρ).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+# ---------------------------------------------------- lane-batched helpers
+
+def _mTm(A, S):
+    """C = Aᵀ S with lane batch: A (p, q, B), S (p, r, B) → (q, r, B)."""
+    p = A.shape[0]
+    acc = A[0][:, None, :] * S[0][None, :, :]
+    for k in range(1, p):
+        acc = acc + A[k][:, None, :] * S[k][None, :, :]
+    return acc
+
+
+def _mTv(A, v):
+    """Aᵀ v: A (p, q, B), v (p, B) → (q, B)."""
+    p = A.shape[0]
+    acc = A[0] * v[0][None, :]
+    for k in range(1, p):
+        acc = acc + A[k] * v[k][None, :]
+    return acc
+
+
+def _posdef_solve_lanes(S, rhs):
+    """Unrolled PD elimination, lane-batched: S (m, m, B), rhs (m, k, B).
+
+    Returns (X (m, k, B), fail (B,)). Mirrors solvers.ilqr.posdef_solve.
+    """
+    m = S.shape[0]
+    rows = [jnp.concatenate([S[i], rhs[i]], axis=0) for i in range(m)]
+    fail = jnp.zeros(S.shape[-1], dtype=jnp.bool_)
+    for i in range(m):
+        piv = rows[i][i]                       # (B,)
+        fail = fail | (piv <= 0.0) | ~jnp.isfinite(piv)
+        inv = 1.0 / piv
+        for j in range(i + 1, m):
+            rows[j] = rows[j] - (rows[j][i] * inv)[None, :] * rows[i]
+    for i in range(m - 1, -1, -1):
+        r = rows[i]
+        for j in range(i + 1, m):
+            r = r - r[j][None, :] * rows[j]
+        rows[i] = r / rows[i][i][None, :]
+    X = jnp.stack([rows[i][m:] for i in range(m)])
+    return X, fail
+
+
+# ----------------------------------------------------------------- kernel
+
+def _riccati_kernel(N, n, m, reg_state,
+                    A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
+                    rho_ref,
+                    K_ref, d_ref, dV_ref, fail_ref):
+    """One batch tile. Shapes (leading grid dim indexed [0]):
+    A (1,N-1,n,n,B), B (1,N-1,n,m,B), lx (1,N,n,B), lu (1,N-1,m,B),
+    lxx (1,N,n,n,B), luu (1,N-1,m,m,B), lux (1,N-1,m,n,B), rho (1,1,B)
+    → K (1,N-1,m,n,B), d (1,N-1,m,B), dV (1,2,B), fail (1,1,B) [f32].
+    """
+    rho = rho_ref[0, 0]                         # (B,)
+
+    def body(i, carry):
+        Sx, Sxx, dV1, dV2, fail = carry
+        k = N - 2 - i
+        A_k = A_ref[0, k]                       # (n, n, B)
+        B_k = B_ref[0, k]                       # (n, m, B)
+
+        SxxA = _mTm(Sxx, A_k)                   # Sxxᵀ A = Sxx A (sym)
+        SxxB = _mTm(Sxx, B_k)
+        Qx = lx_ref[0, k] + _mTv(A_k, Sx)
+        Qu = lu_ref[0, k] + _mTv(B_k, Sx)
+        Qxx = lxx_ref[0, k] + _mTm(A_k, SxxA)
+        Quu = luu_ref[0, k] + _mTm(B_k, SxxB)
+        Qux = lux_ref[0, k] + _mTm(B_k, SxxA)
+
+        if reg_state:
+            Quu_reg = Quu + rho[None, None, :] * _mTm(B_k, B_k)
+            Qux_reg = Qux + rho[None, None, :] * _mTm(B_k, A_k)
+        else:
+            eye = jnp.eye(m, dtype=Quu.dtype)[:, :, None]
+            Quu_reg = Quu + rho[None, None, :] * eye
+            Qux_reg = Qux
+
+        rhs = jnp.concatenate([Qux_reg, Qu[:, None, :]], axis=1)  # (m, n+1, B)
+        sol, fail_k = _posdef_solve_lanes(Quu_reg, rhs)
+        sol = jnp.where(fail_k[None, None, :], 0.0, sol)
+        K_k = -sol[:, :n]                       # (m, n, B)
+        d_k = -sol[:, n]                        # (m, B)
+
+        Quu_d = _mTv(jnp.moveaxis(Quu, 0, 1), d_k)  # Quu d (sym ⇒ Quuᵀ d)
+        Sx_new = Qx + _mTv(K_k, Quu_d) + _mTv(K_k, Qu) + _mTv(Qux, d_k)
+        KQuu = _mTm(K_k, jnp.moveaxis(Quu, 0, 1))   # Kᵀ Quu (n, m, B)
+        Sxx_new = Qxx + _mTm(jnp.moveaxis(KQuu, 0, 1), K_k) \
+            + _mTm(Qux, K_k) + jnp.moveaxis(_mTm(Qux, K_k), 0, 1)
+        Sxx_new = 0.5 * (Sxx_new + jnp.moveaxis(Sxx_new, 0, 1))
+
+        dV1 = dV1 + jnp.sum(d_k * Qu, axis=0)
+        dV2 = dV2 + 0.5 * jnp.sum(d_k * Quu_d, axis=0)
+
+        K_ref[0, k] = K_k
+        d_ref[0, k] = d_k
+        return (Sx_new, Sxx_new, dV1, dV2, fail | fail_k)
+
+    Sx0 = lx_ref[0, N - 1]
+    Sxx0 = lxx_ref[0, N - 1]
+    Bsz = Sx0.shape[-1]
+    zero = jnp.zeros((Bsz,), Sx0.dtype)
+    Sx, Sxx, dV1, dV2, fail = jax.lax.fori_loop(
+        0, N - 1, body,
+        (Sx0, Sxx0, zero, zero, jnp.zeros((Bsz,), jnp.bool_)))
+    dV_ref[0, 0] = dV1
+    dV_ref[0, 1] = dV2
+    fail_ref[0, 0] = jnp.where(fail, 1.0, 0.0)
+
+
+def riccati_sweep_pallas(A, B, lx, lu, lxx, luu, lux, rho,
+                         reg_state: bool = False, interpret: bool = False):
+    """Fused batched Riccati sweep.
+
+    Batch-first inputs: A (Bz,N-1,n,n), B (Bz,N-1,n,m), lx (Bz,N,n),
+    lu (Bz,N-1,m), lxx (Bz,N,n,n), luu (Bz,N-1,m,m), lux (Bz,N-1,m,n),
+    rho (Bz,). Returns (K (Bz,N-1,m,n), d (Bz,N-1,m), dV1 (Bz,), dV2 (Bz,),
+    fail (Bz,) bool). Bz must be a multiple of 128.
+    """
+    Bt = LANES
+    Bz, Nm1, n, m = B.shape
+    N = Nm1 + 1
+    assert Bz % Bt == 0, "batch must be a multiple of 128"
+    nb = Bz // Bt
+    dtype = A.dtype
+
+    def to_lanes(a):
+        a = a.reshape((nb, Bt) + a.shape[1:])
+        return jnp.moveaxis(a, 1, -1)
+
+    ins = [to_lanes(x) for x in
+           (A, B, lx, lu, lxx, luu, lux, rho[:, None])]
+
+    kern = functools.partial(_riccati_kernel, N, n, m, reg_state)
+
+    def bspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape,
+                            lambda i, _nd=nd: (i,) + (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    K, d, dV, fail = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            bspec((Nm1, n, n, Bt)),
+            bspec((Nm1, n, m, Bt)),
+            bspec((N, n, Bt)),
+            bspec((Nm1, m, Bt)),
+            bspec((N, n, n, Bt)),
+            bspec((Nm1, m, m, Bt)),
+            bspec((Nm1, m, n, Bt)),
+            bspec((1, Bt)),
+        ],
+        out_specs=(
+            bspec((Nm1, m, n, Bt)),
+            bspec((Nm1, m, Bt)),
+            bspec((2, Bt)),
+            bspec((1, Bt)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, Nm1, m, n, Bt), dtype),
+            jax.ShapeDtypeStruct((nb, Nm1, m, Bt), dtype),
+            jax.ShapeDtypeStruct((nb, 2, Bt), dtype),
+            jax.ShapeDtypeStruct((nb, 1, Bt), dtype),
+        ),
+        interpret=interpret,
+    )(*ins)
+
+    def from_lanes(a):
+        a = jnp.moveaxis(a, -1, 1)
+        return a.reshape((Bz,) + a.shape[2:])
+
+    K = from_lanes(K)
+    d = from_lanes(d)
+    dV = from_lanes(dV)
+    fail = from_lanes(fail)[:, 0] > 0
+    return K, d, dV[:, 0], dV[:, 1], fail

@@ -50,7 +50,9 @@ def quadrotor_dynamics_lanes(x, u):
     g = -9.81
 
     qw, qx, qy, qz = x[3], x[4], x[5], x[6]
-    qn = jax.lax.rsqrt(qw * qw + qx * qx + qy * qy + qz * qz)
+    # NOTE: 1/sqrt, not lax.rsqrt — TPU rsqrt is an approximation and the
+    # error compounds over the rollout horizon
+    qn = 1.0 / jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz)
     qw, qx, qy, qz = qw * qn, qx * qn, qy * qn, qz * qn
     wx, wy, wz = x[10], x[11], x[12]
 

