@@ -113,8 +113,16 @@ def discretize(model: Model, integrator: str = "rk3") -> DiscreteModel:
         factory = integrator
         name = getattr(integrator, "__name__", "custom")
     step = factory(model.dynamics)
-    return DiscreteModel(step, model.n, model.m, model=model, integrator=name,
-                         name=model.name)
+    dmodel = DiscreteModel(step, model.n, model.m, model=model,
+                           integrator=name, name=model.name)
+    # attach a lane-batched (batch-on-lanes) step if a Pallas fast path is
+    # registered for this (model, integrator) — used by the fused TPU
+    # forward-pass kernel (ops/pallas_rollout.py)
+    if (model.name, name) == ("quadrotor", "rk3"):
+        from trajopt_tpu.ops.pallas_rollout import quadrotor_step_lanes
+
+        dmodel.step_lanes = quadrotor_step_lanes
+    return dmodel
 
 
 def discretize_uncertain(model: Model, integrator: str = "rk3"):

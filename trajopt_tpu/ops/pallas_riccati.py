@@ -51,27 +51,57 @@ def _mTv(A, v):
     return acc
 
 
+def _mm(A, S):
+    """C = A S: A (q, p, B), S (p, r, B) → (q, r, B)."""
+    p = S.shape[0]
+    acc = A[:, 0, :][:, None, :] * S[0][None, :, :]
+    for k in range(1, p):
+        acc = acc + A[:, k, :][:, None, :] * S[k][None, :, :]
+    return acc
+
+
+def _mv(A, v):
+    """A v: A (q, p, B), v (p, B) → (q, B)."""
+    p = v.shape[0]
+    acc = A[:, 0, :] * v[0][None, :]
+    for k in range(1, p):
+        acc = acc + A[:, k, :] * v[k][None, :]
+    return acc
+
+
+def _t(A):
+    """Transpose of the leading two dims of (p, q, B) via slice-stacking
+    (Mosaic-safe — no moveaxis on lane-last 3D values)."""
+    q = A.shape[1]
+    return jnp.stack([A[:, j, :] for j in range(q)])
+
+
 def _posdef_solve_lanes(S, rhs):
     """Unrolled PD elimination, lane-batched: S (m, m, B), rhs (m, k, B).
 
-    Returns (X (m, k, B), fail (B,)). Mirrors solvers.ilqr.posdef_solve.
+    Returns (X (m, k, B), fail (1, B)). Mirrors solvers.ilqr.posdef_solve.
+    Mosaic constraints shape the implementation: no sublane concatenate
+    (S and rhs rows are eliminated side by side), no 1D lane-only values
+    (pivots stay (1, B)).
     """
     m = S.shape[0]
-    rows = [jnp.concatenate([S[i], rhs[i]], axis=0) for i in range(m)]
-    fail = jnp.zeros(S.shape[-1], dtype=jnp.bool_)
+    Sr = [S[i] for i in range(m)]
+    Rr = [rhs[i] for i in range(m)]
+    fail = jnp.zeros((1, S.shape[-1]), dtype=jnp.bool_)
     for i in range(m):
-        piv = rows[i][i]                       # (B,)
+        piv = Sr[i][i:i + 1]                   # (1, B)
         fail = fail | (piv <= 0.0) | ~jnp.isfinite(piv)
         inv = 1.0 / piv
         for j in range(i + 1, m):
-            rows[j] = rows[j] - (rows[j][i] * inv)[None, :] * rows[i]
+            f = Sr[j][i:i + 1] * inv
+            Sr[j] = Sr[j] - f * Sr[i]
+            Rr[j] = Rr[j] - f * Rr[i]
     for i in range(m - 1, -1, -1):
-        r = rows[i]
+        r = Rr[i]
         for j in range(i + 1, m):
-            r = r - r[j][None, :] * rows[j]
-        rows[i] = r / rows[i][i][None, :]
-    X = jnp.stack([rows[i][m:] for i in range(m)])
-    return X, fail
+            r = r - Sr[i][j:j + 1] * Rr[j]
+        Rr[i] = r / Sr[i][i:i + 1]
+    return jnp.stack(Rr), fail
 
 
 # ----------------------------------------------------------------- kernel
@@ -79,16 +109,23 @@ def _posdef_solve_lanes(S, rhs):
 def _riccati_kernel(N, n, m, reg_state,
                     A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
                     rho_ref,
-                    K_ref, d_ref, dV_ref, fail_ref):
+                    K_ref, d_ref, dV_ref, fail_ref,
+                    Sx_ref, Sxx_ref, acc_ref):
     """One batch tile. Shapes (leading grid dim indexed [0]):
     A (1,N-1,n,n,B), B (1,N-1,n,m,B), lx (1,N,n,B), lu (1,N-1,m,B),
     lxx (1,N,n,n,B), luu (1,N-1,m,m,B), lux (1,N-1,m,n,B), rho (1,1,B)
     → K (1,N-1,m,n,B), d (1,N-1,m,B), dV (1,2,B), fail (1,1,B) [f32].
     """
-    rho = rho_ref[0, 0]                         # (B,)
+    rho = rho_ref[0]                            # (1, B) — stay 2D
+    # carries live in VMEM scratch (Mosaic cannot legalize multi-dim
+    # scf.for iter_args): Sx (n,B), Sxx (n,n,B), acc (3,B)=dV1,dV2,fail
+    Sx_ref[:] = lx_ref[0, N - 1]
+    Sxx_ref[:] = lxx_ref[0, N - 1]
+    acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    def body(i, carry):
-        Sx, Sxx, dV1, dV2, fail = carry
+    def body(i, _):
+        Sx = Sx_ref[:]
+        Sxx = Sxx_ref[:]
         k = N - 2 - i
         A_k = A_ref[0, k]                       # (n, n, B)
         B_k = B_ref[0, k]                       # (n, m, B)
@@ -102,43 +139,48 @@ def _riccati_kernel(N, n, m, reg_state,
         Qux = lux_ref[0, k] + _mTm(B_k, SxxA)
 
         if reg_state:
-            Quu_reg = Quu + rho[None, None, :] * _mTm(B_k, B_k)
-            Qux_reg = Qux + rho[None, None, :] * _mTm(B_k, A_k)
+            Quu_reg = Quu + rho[None] * _mTm(B_k, B_k)
+            Qux_reg = Qux + rho[None] * _mTm(B_k, A_k)
         else:
             eye = jnp.eye(m, dtype=Quu.dtype)[:, :, None]
-            Quu_reg = Quu + rho[None, None, :] * eye
+            Quu_reg = Quu + rho[None] * eye
             Qux_reg = Qux
 
         rhs = jnp.concatenate([Qux_reg, Qu[:, None, :]], axis=1)  # (m, n+1, B)
-        sol, fail_k = _posdef_solve_lanes(Quu_reg, rhs)
-        sol = jnp.where(fail_k[None, None, :], 0.0, sol)
+        sol, fail_k = _posdef_solve_lanes(Quu_reg, rhs)   # fail_k (1, B)
+        sol = jnp.where(fail_k[None], 0.0, sol)
+        del Sx  # consumed above
         K_k = -sol[:, :n]                       # (m, n, B)
         d_k = -sol[:, n]                        # (m, B)
 
-        Quu_d = _mTv(jnp.moveaxis(Quu, 0, 1), d_k)  # Quu d (sym ⇒ Quuᵀ d)
+        Quu_d = _mv(Quu, d_k)                       # Quu d (m, B)
         Sx_new = Qx + _mTv(K_k, Quu_d) + _mTv(K_k, Qu) + _mTv(Qux, d_k)
-        KQuu = _mTm(K_k, jnp.moveaxis(Quu, 0, 1))   # Kᵀ Quu (n, m, B)
-        Sxx_new = Qxx + _mTm(jnp.moveaxis(KQuu, 0, 1), K_k) \
-            + _mTm(Qux, K_k) + jnp.moveaxis(_mTm(Qux, K_k), 0, 1)
-        Sxx_new = 0.5 * (Sxx_new + jnp.moveaxis(Sxx_new, 0, 1))
-
-        dV1 = dV1 + jnp.sum(d_k * Qu, axis=0)
-        dV2 = dV2 + 0.5 * jnp.sum(d_k * Quu_d, axis=0)
+        QuuK = _mm(Quu, K_k)                        # Quu K (m, n, B)
+        Sxx_new = Qxx + _mTm(K_k, QuuK) \
+            + _mTm(Qux, K_k) + _mTm(K_k, Qux)
+        Sxx_new = 0.5 * (Sxx_new + _t(Sxx_new))
 
         K_ref[0, k] = K_k
         d_ref[0, k] = d_k
-        return (Sx_new, Sxx_new, dV1, dV2, fail | fail_k)
+        Sx_ref[:] = Sx_new
+        Sxx_ref[:] = Sxx_new
+        # unrolled sublane reductions (Mosaic rejects vector.multi_reduction
+        # with offset layouts over the reduced dim)
+        def _rowsum(v):
+            acc1 = v[0:1]
+            for i in range(1, v.shape[0]):
+                acc1 = acc1 + v[i:i + 1]
+            return acc1
 
-    Sx0 = lx_ref[0, N - 1]
-    Sxx0 = lxx_ref[0, N - 1]
-    Bsz = Sx0.shape[-1]
-    zero = jnp.zeros((Bsz,), Sx0.dtype)
-    Sx, Sxx, dV1, dV2, fail = jax.lax.fori_loop(
-        0, N - 1, body,
-        (Sx0, Sxx0, zero, zero, jnp.zeros((Bsz,), jnp.bool_)))
-    dV_ref[0, 0] = dV1
-    dV_ref[0, 1] = dV2
-    fail_ref[0, 0] = jnp.where(fail, 1.0, 0.0)
+        acc = acc_ref[:]
+        acc_ref[0:1] = acc[0:1] + _rowsum(d_k * Qu)
+        acc_ref[1:2] = acc[1:2] + 0.5 * _rowsum(d_k * Quu_d)
+        acc_ref[2:3] = jnp.maximum(acc[2:3], jnp.where(fail_k, 1.0, 0.0))
+        return 0
+
+    jax.lax.fori_loop(0, N - 1, body, 0)
+    dV_ref[0] = acc_ref[0:2]
+    fail_ref[0] = acc_ref[2:3]
 
 
 def riccati_sweep_pallas(A, B, lx, lu, lxx, luu, lux, rho,
@@ -197,6 +239,11 @@ def riccati_sweep_pallas(A, B, lx, lu, lxx, luu, lux, rho,
             jax.ShapeDtypeStruct((nb, 2, Bt), dtype),
             jax.ShapeDtypeStruct((nb, 1, Bt), dtype),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((n, Bt), dtype),
+            pltpu.VMEM((n, n, Bt), dtype),
+            pltpu.VMEM((3, Bt), dtype),
+        ],
         interpret=interpret,
     )(*ins)
 

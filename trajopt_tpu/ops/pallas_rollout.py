@@ -88,8 +88,8 @@ def quadrotor_step_lanes(x, u, dt):
 
 # ----------------------------------------------------------------- kernel
 
-def _rollout_kernel(step_lanes, N, dt,
-                    x0_ref, X_ref, U_ref, K_ref, d_ref, alpha_ref,
+def _rollout_kernel(step_lanes, N,
+                    x0_ref, X_ref, U_ref, K_ref, d_ref, alpha_ref, dt_ref,
                     Xout_ref, Uout_ref, ok_ref):
     """One batch tile: full closed-loop sweep.
 
@@ -98,6 +98,7 @@ def _rollout_kernel(step_lanes, N, dt,
     alpha (1,1,B) → Xout (1,N,n,B), Uout (1,N-1,m,B), ok (1,1,B) [f32 mask].
     """
     alpha = alpha_ref[0, 0]                  # (B,)
+    dt = dt_ref[0]                           # (1, B)
     Xout_ref[0, 0] = x0_ref[0]
 
     def body(k, carry):
@@ -149,10 +150,9 @@ def rollout_closed_loop_pallas(step_lanes, x0, X, U, K, d, alpha, dt,
     K_l = to_lanes(K)
     d_l = to_lanes(d)
     a_l = to_lanes(alpha[:, None])           # (nb, 1, Bt)
+    dt_l = to_lanes(jnp.broadcast_to(jnp.asarray(dt, dtype), (Bsz,))[:, None])
 
-    # dt must be a trace-time constant inside the kernel (scalar captures are
-    # not allowed); it is fixed per problem anyway
-    kern = functools.partial(_rollout_kernel, step_lanes, N, float(dt))
+    kern = functools.partial(_rollout_kernel, step_lanes, N)
 
     def bspec(shape):
         nd = len(shape)
@@ -170,6 +170,7 @@ def rollout_closed_loop_pallas(step_lanes, x0, X, U, K, d, alpha, dt,
             bspec((N - 1, m, n, Bt)),
             bspec((N - 1, m, Bt)),
             bspec((1, Bt)),
+            bspec((1, Bt)),
         ],
         out_specs=(
             bspec((N, n, Bt)),
@@ -182,7 +183,7 @@ def rollout_closed_loop_pallas(step_lanes, x0, X, U, K, d, alpha, dt,
             jax.ShapeDtypeStruct((nb, 1, Bt), dtype),
         ),
         interpret=interpret,
-    )(x0_l, X_l, U_l, K_l, d_l, a_l)
+    )(x0_l, X_l, U_l, K_l, d_l, a_l, dt_l)
 
     def from_lanes(a):
         a = jnp.moveaxis(a, -1, 1)

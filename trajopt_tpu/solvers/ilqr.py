@@ -206,6 +206,89 @@ def sqrt_sweep(A, B, exp: Expansion, rho_val):
 
 
 def backward_pass(A, B, exp: Expansion, rho, drho, opts: iLQROptions):
+    """Riccati/DDP sweep — dispatches through a ``custom_vmap`` wrapper so
+    that BATCHED solves (vmap over problems) use the fused Pallas lane-batch
+    kernel on TPU while the single-problem path keeps the scan semantics.
+    See :func:`_backward_pass_impl` for the algorithm."""
+    return _bp_dispatch(opts)(A, B, exp, rho, drho)
+
+
+def _bp_batched_pallas(A, B, exp: Expansion, rho, drho, opts: iLQROptions):
+    """Batched backward pass on the fused Pallas Riccati kernel with the
+    reference's per-problem ρ-retry semantics (masked re-sweeps)."""
+    from trajopt_tpu.ops.pallas_riccati import riccati_sweep_pallas
+
+    reg_state = opts.bp_reg_type == "state"
+
+    def sweep(rho_v):
+        return riccati_sweep_pallas(A, B, exp.x, exp.u, exp.xx, exp.uu,
+                                    exp.ux, rho_v, reg_state=reg_state)
+
+    K0, d0, v1, v2, fail0 = sweep(rho)
+
+    def cond(st):
+        K, d, v1, v2, fail, rho_c, drho_c, att = st
+        return jnp.any(fail) & (att < opts.bp_max_attempts)
+
+    def body(st):
+        K, d, v1, v2, fail, rho_c, drho_c, att = st
+        rho_i, drho_i = reg_increase(rho_c, drho_c, opts)
+        rho_c = jnp.where(fail, rho_i, rho_c)
+        drho_c = jnp.where(fail, drho_i, drho_c)
+        K, d, v1, v2, fail = sweep(rho_c)
+        return (K, d, v1, v2, fail, rho_c, drho_c, att + 1)
+
+    K, d, v1, v2, fail, rho, drho, _ = jax.lax.while_loop(
+        cond, body, (K0, d0, v1, v2, fail0, rho, drho,
+                     jnp.zeros((), jnp.int32)))
+    rho, drho = reg_decrease(rho, drho, opts)
+    return K, d, v1, v2, rho, drho
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _bp_dispatch(opts: iLQROptions):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def bp(A, B, exp, rho, drho):
+        return _backward_pass_impl(A, B, exp, rho, drho, opts)
+
+    @bp.def_vmap
+    def _rule(axis_size, in_batched, A, B, exp, rho, drho):
+        def bc(v, b):
+            return jax.tree_util.tree_map(
+                lambda x: x if b else jnp.broadcast_to(
+                    x, (axis_size,) + jnp.shape(x)), v)
+
+    # broadcast unbatched args to the batch
+        bA, bB, bexp, brho, bdrho = (
+            bc(A, in_batched[0]), bc(B, in_batched[1]),
+            jax.tree_util.tree_map(
+                lambda x, bb: x if bb else jnp.broadcast_to(
+                    x, (axis_size,) + jnp.shape(x)),
+                exp, in_batched[2]),
+            bc(rho, in_batched[3]), bc(drho, in_batched[4]))
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and not (opts.square_root or opts.bp_type in ("sqrt", "parallel"))
+            and axis_size % 128 == 0
+            and bA.dtype == jnp.float32
+        )
+        if use_pallas:
+            out = _bp_batched_pallas(bA, bB, bexp, brho, bdrho, opts)
+        else:
+            out = jax.vmap(lambda a, b, e, r, dr: _backward_pass_impl(
+                a, b, e, r, dr, opts))(bA, bB, bexp, brho, bdrho)
+        return out, tuple(True for _ in range(6))
+
+    return bp
+
+
+def _backward_pass_impl(A, B, exp: Expansion, rho, drho, opts: iLQROptions):
     """Riccati/DDP sweep (reference _backwardpass!, backward_pass.jl:9-85).
 
     A: (N-1, n, n), B: (N-1, n, m), exp: stacked expansion.
@@ -313,13 +396,10 @@ def forward_pass(model, cost_fn, x0, X, U, K, d, dV1, dV2, J_prev, rho, drho,
     Returns (X̄, Ū, J, rho, drho, alpha_used).
     """
     big = jnp.asarray(jnp.inf, dtype=X.dtype)
+    cl_rollout = _cl_rollout_dispatch(model, opts)
 
     def do_rollout(alpha):
-        return rollout_closed_loop(
-            model, x0, X, U, K, d, alpha, dt,
-            max_state_value=opts.max_state_value,
-            max_control_value=opts.max_control_value,
-        )
+        return cl_rollout(x0, X, U, K, d, alpha, dt)
 
     def cond_fn(st):
         alpha, it, J, z, expected, Xb, Ub, done, rho_c, drho_c = st
@@ -369,6 +449,61 @@ def forward_pass(model, cost_fn, x0, X, U, K, d, dV1, dV2, J_prev, rho, drho,
         cond_fn, body_fn, init
     )
     return Xb, Ub, J, rho, drho, alpha * 2.0
+
+
+@_functools.lru_cache(maxsize=None)
+def _cl_rollout_dispatch(model, opts: iLQROptions):
+    """custom_vmap wrapper for the forward-pass rollout: batched solves on
+    TPU use the fused Pallas kernel when the model ships a lane-batched step
+    (models.base attaches ``step_lanes`` for registered models)."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def cl(x0, X, U, K, d, alpha, dt):
+        return rollout_closed_loop(
+            model, x0, X, U, K, d, alpha, dt,
+            max_state_value=opts.max_state_value,
+            max_control_value=opts.max_control_value)
+
+    @cl.def_vmap
+    def _rule(axis_size, in_batched, x0, X, U, K, d, alpha, dt):
+        def bc(v, b):
+            return v if b else jnp.broadcast_to(
+                v, (axis_size,) + jnp.shape(v))
+
+        x0b = bc(x0, in_batched[0])
+        Xb = bc(X, in_batched[1])
+        Ub = bc(U, in_batched[2])
+        Kb = bc(K, in_batched[3])
+        db = bc(d, in_batched[4])
+        ab = bc(alpha, in_batched[5])
+
+        step_lanes = getattr(model, "step_lanes", None)
+        use_pallas = (
+            step_lanes is not None
+            and jax.default_backend() == "tpu"
+            and axis_size % 128 == 0
+            and Xb.dtype == jnp.float32
+            and not in_batched[6]              # shared, uniform dt
+            and opts.max_state_value == 1e8
+            and opts.max_control_value == 1e8
+        )
+        if use_pallas:
+            from trajopt_tpu.ops.pallas_rollout import rollout_closed_loop_pallas
+
+            out = rollout_closed_loop_pallas(
+                step_lanes, x0b, Xb, Ub, Kb, db, ab, dt[0])
+        else:
+            dtb = bc(dt, in_batched[6])
+            out = jax.vmap(lambda x0_, X_, U_, K_, d_, a_, dt_:
+                           rollout_closed_loop(
+                               model, x0_, X_, U_, K_, d_, a_, dt_,
+                               max_state_value=opts.max_state_value,
+                               max_control_value=opts.max_control_value))(
+                x0b, Xb, Ub, Kb, db, ab, dtb)
+        return out, (True, True, True)
+
+    return cl
 
 
 def gradient_todorov(d, U):
