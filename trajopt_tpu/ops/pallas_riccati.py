@@ -183,7 +183,7 @@ def _riccati_kernel(N, n, m, reg_state,
     fail_ref[0] = acc_ref[2:3]
 
 
-def riccati_sweep_pallas(A, B, lx, lu, lxx, luu, lux, rho,
+def _riccati_sweep_pallas_impl(A, B, lx, lu, lxx, luu, lux, rho,
                          reg_state: bool = False, interpret: bool = False):
     """Fused batched Riccati sweep.
 
@@ -256,3 +256,25 @@ def riccati_sweep_pallas(A, B, lx, lu, lxx, luu, lux, rho,
     dV = from_lanes(dV)
     fail = from_lanes(fail)[:, 0] > 0
     return K, d, dV[:, 0], dV[:, 1], fail
+
+
+def riccati_sweep_pallas(A, B, lx, lu, lxx, luu, lux, rho,
+                         reg_state: bool = False, interpret: bool = False):
+    """Chunked front-end: Mosaic double-buffers input blocks once the grid
+    exceeds 2 programs, overflowing VMEM for large batches — so batches are
+    processed in ≤256-problem chunks via ``lax.map`` (sequential chunks cost
+    nothing on a single-core chip)."""
+    Bz = A.shape[0]
+    chunk = 256 if Bz % 256 == 0 else LANES
+    if Bz <= chunk:
+        return _riccati_sweep_pallas_impl(A, B, lx, lu, lxx, luu, lux, rho,
+                                          reg_state, interpret)
+    nchunk = Bz // chunk
+
+    def resh(x):
+        return x.reshape((nchunk, chunk) + x.shape[1:])
+
+    out = jax.lax.map(
+        lambda args: _riccati_sweep_pallas_impl(*args, reg_state, interpret),
+        tuple(resh(x) for x in (A, B, lx, lu, lxx, luu, lux, rho)))
+    return tuple(o.reshape((Bz,) + o.shape[2:]) for o in out)

@@ -123,7 +123,7 @@ def _rollout_kernel(step_lanes, N,
     ok_ref[0, 0] = okm
 
 
-def rollout_closed_loop_pallas(step_lanes, x0, X, U, K, d, alpha, dt,
+def _rollout_closed_loop_pallas_impl(step_lanes, x0, X, U, K, d, alpha, dt,
                                interpret=False):
     """Fused batched closed-loop rollout.
 
@@ -190,3 +190,25 @@ def rollout_closed_loop_pallas(step_lanes, x0, X, U, K, d, alpha, dt,
         return a.reshape((Bsz,) + a.shape[2:])
 
     return from_lanes(Xout), from_lanes(Uout), from_lanes(ok)[:, 0] > 0
+
+
+def rollout_closed_loop_pallas(step_lanes, x0, X, U, K, d, alpha, dt,
+                               interpret=False):
+    """Chunked front-end (see pallas_riccati.riccati_sweep_pallas): ≤256
+    problems per pallas_call to stay within VMEM under Mosaic's block
+    double-buffering."""
+    Bz = X.shape[0]
+    chunk = 256 if Bz % 256 == 0 else LANES
+    if Bz <= chunk:
+        return _rollout_closed_loop_pallas_impl(step_lanes, x0, X, U, K, d,
+                                                alpha, dt, interpret)
+    nchunk = Bz // chunk
+
+    def resh(x):
+        return x.reshape((nchunk, chunk) + x.shape[1:])
+
+    out = jax.lax.map(
+        lambda args: _rollout_closed_loop_pallas_impl(step_lanes, *args, dt,
+                                                      interpret),
+        tuple(resh(x) for x in (x0, X, U, K, d, alpha)))
+    return tuple(o.reshape((Bz,) + o.shape[2:]) for o in out)
