@@ -244,6 +244,8 @@ def _riccati_sweep_pallas_impl(A, B, lx, lu, lxx, luu, lux, rho,
             pltpu.VMEM((n, n, Bt), dtype),
             pltpu.VMEM((3, Bt), dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*ins)
 

@@ -182,6 +182,8 @@ def _rollout_closed_loop_pallas_impl(step_lanes, x0, X, U, K, d, alpha, dt,
             jax.ShapeDtypeStruct((nb, N - 1, m, Bt), dtype),
             jax.ShapeDtypeStruct((nb, 1, Bt), dtype),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x0_l, X_l, U_l, K_l, d_l, a_l, dt_l)
 

@@ -124,6 +124,12 @@ def infeasible_problem(prob: Problem, R_inf: float = 1.0) -> Problem:
     model_inf = DiscreteModel(step, n, m + n, model=base.model,
                               integrator=base.integrator,
                               name=base.name + "_infeasible")
+    base_lanes = getattr(base, "step_lanes", None)
+    if base_lanes is not None:
+        # lane-batched step for the slack-augmented model (batch-last
+        # layout: u is (m+n, B)) — keeps the Pallas forward pass active
+        # through the infeasible-start transform
+        model_inf.step_lanes = lambda x, u, dt: base_lanes(x, u[:m], dt) + u[m:]
 
     # objective: R ← blkdiag(R, R_inf/dt · I)  (infeasible.jl:8-15)
     obj = prob.obj
