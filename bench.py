@@ -112,7 +112,16 @@ def bench_maze():
 
 
 def main():
-    ilqr_rate, ilqr_conv, ilqr_err = bench_ilqr()
+    try:
+        ilqr_rate, ilqr_conv, ilqr_err = bench_ilqr()
+    except Exception as e:
+        # TPU/compile-service hiccup: still emit a valid line
+        print(json.dumps({
+            "metric": "quadrotor_ilqr_solves_per_s", "value": -1.0,
+            "unit": "solves/s", "vs_baseline": -1.0,
+            "error": str(e)[:200],
+        }))
+        return
     try:
         maze_rate, maze_conv, maze_cmax = bench_maze()
     except Exception as e:  # keep the headline robust to env hiccups

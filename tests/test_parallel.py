@@ -91,3 +91,26 @@ def test_vmap_batch_matches_single():
     resB = solve_batch(prob, tt.ALOptions(), x0s)
     assert np.allclose(resB.X[0], res1.X, atol=1e-10)
     assert np.allclose(resB.U[2], res1.U, atol=1e-10)
+
+
+def test_custom_vmap_dispatch_consistency():
+    """The custom_vmap batching rules (fallback path on CPU) must reproduce
+    the single-problem solve exactly — guards the Pallas dispatch plumbing."""
+    from trajopt_tpu.problems import zoo as probs
+
+    prob = probs.quadrotor()
+    # unconstrained variant (quadrotor zoo problem has bounds; strip them)
+    prob_u = tt.update_problem(
+        prob, constraints=tt.ConstraintSet.build([], prob.N))
+    opts = tt.ALOptions(opts_uncon=iLQROptions(iterations=12))
+    res1 = tt.al_solve(prob_u, opts)
+
+    x0s = jnp.broadcast_to(prob.x0, (4,) + prob.x0.shape)
+    resB = solve_batch(prob_u, opts, x0s)
+    # loose tolerance: batched XLA programs reassociate float ops, and 12
+    # iLQR iterations amplify bit-level differences; the test guards the
+    # dispatch PLUMBING (swapped/broadcast args would be wildly off)
+    assert np.allclose(np.asarray(resB.X[0]), np.asarray(res1.X),
+                       rtol=1e-4, atol=1e-4)
+    assert np.allclose(np.asarray(resB.U[3]), np.asarray(res1.U),
+                       rtol=1e-4, atol=1e-4)
