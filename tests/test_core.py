@@ -202,3 +202,37 @@ def test_generic_objective_solves():
                       U0=np.ones((N - 1, 1)))
     res = tt.al_solve(prob, tt.ALOptions())
     assert np.linalg.norm(np.asarray(res.X[-1]) - np.asarray(xf)) < 0.2
+
+
+def test_uncertain_integrators():
+    """(reference rk3_uncertain etc., integration.jl): w=0 reduces to the
+    nominal integrator exactly."""
+    from trajopt_tpu.models.base import discretize, discretize_uncertain
+
+    x = jnp.array([0.2, -0.1])
+    u = jnp.array([0.4])
+    w0 = jnp.zeros(1)
+    for name in ["midpoint", "rk3", "rk4"]:
+        step_u = discretize_uncertain(zoo.pendulum_uncertain, name)
+        # nominal model with w folded at 0 equals uncertain at w=0
+        nominal = discretize(zoo.pendulum, name).step(x, u, 0.1)
+        # pendulum_uncertain at w=0 is algebraically the same dynamics
+        got = step_u(x, u, w0, 0.1)
+        assert np.allclose(np.asarray(got), np.asarray(nominal), atol=1e-12)
+    with pytest.raises(ValueError):
+        discretize_uncertain(zoo.pendulum, "rk3")
+
+
+def test_primal_pack_roundtrip():
+    """(reference Primals pack/unpack, primals.jl:107-142)."""
+    from trajopt_tpu.solvers.projected_newton import (
+        pack_primals, unpack_primals,
+    )
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(6, 3)))
+    U = jnp.asarray(rng.normal(size=(5, 2)))
+    Z = pack_primals(X, U)
+    assert Z.shape == (6 * 3 + 5 * 2,)
+    X2, U2 = unpack_primals(Z, 3, 2, 6)
+    assert np.allclose(X, X2) and np.allclose(U, U2)
