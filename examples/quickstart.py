@@ -9,6 +9,11 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it explicitly
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import jax.numpy as jnp
 

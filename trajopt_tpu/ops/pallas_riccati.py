@@ -149,7 +149,6 @@ def _riccati_kernel(N, n, m, reg_state,
         rhs = jnp.concatenate([Qux_reg, Qu[:, None, :]], axis=1)  # (m, n+1, B)
         sol, fail_k = _posdef_solve_lanes(Quu_reg, rhs)   # fail_k (1, B)
         sol = jnp.where(fail_k[None], 0.0, sol)
-        del Sx  # consumed above
         K_k = -sol[:, :n]                       # (m, n, B)
         d_k = -sol[:, n]                        # (m, B)
 

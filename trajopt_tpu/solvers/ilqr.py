@@ -21,6 +21,7 @@ batching (masked updates).
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -245,10 +246,7 @@ def _bp_batched_pallas(A, B, exp: Expansion, rho, drho, opts: iLQROptions):
     return K, d, v1, v2, rho, drho
 
 
-import functools as _functools
-
-
-@_functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=None)
 def _bp_dispatch(opts: iLQROptions):
     from jax.custom_batching import custom_vmap
 
@@ -263,7 +261,7 @@ def _bp_dispatch(opts: iLQROptions):
                 lambda x: x if b else jnp.broadcast_to(
                     x, (axis_size,) + jnp.shape(x)), v)
 
-    # broadcast unbatched args to the batch
+        # broadcast unbatched args to the batch
         bA, bB, bexp, brho, bdrho = (
             bc(A, in_batched[0]), bc(B, in_batched[1]),
             jax.tree_util.tree_map(
@@ -451,7 +449,7 @@ def forward_pass(model, cost_fn, x0, X, U, K, d, dV1, dV2, J_prev, rho, drho,
     return Xb, Ub, J, rho, drho, alpha * 2.0
 
 
-@_functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=None)
 def _cl_rollout_dispatch(model, opts: iLQROptions):
     """custom_vmap wrapper for the forward-pass rollout: batched solves on
     TPU use the fused Pallas kernel when the model ships a lane-batched step
