@@ -108,3 +108,19 @@ def test_kuka_obstacles_altro():
     res = alt.altro_solve(prob, alt.ALTROOptions(opts_al=opts_al))
     assert float(res.c_max) < 1e-3
     assert np.linalg.norm(np.asarray(res.X[-1]) - np.asarray(prob.xf)) < 1e-3
+
+
+def test_quadrotor_maze_altro():
+    """Flagship benchmark problem solves end-to-end with PN polish
+    (reference examples/IROS_2019/quadrotor_maze.jl options)."""
+    prob = probs.quadrotor_maze()
+    opts_al = tt.ALOptions(iterations=40, cost_tolerance=1e-5,
+                           cost_tolerance_intermediate=1e-4,
+                           constraint_tolerance=1e-8, penalty_scaling=10.0)
+    opts = alt.ALTROOptions(opts_al=opts_al, R_inf=1e-8,
+                            resolve_feasible_problem=False,
+                            projected_newton=True,
+                            projected_newton_tolerance=1e-4)
+    res = alt.altro_solve(prob, opts)
+    assert float(res.c_max) < 1e-5
+    assert np.linalg.norm(np.asarray(res.X[-1, :3]) - [0.0, 60.0, 10.0]) < 1e-3

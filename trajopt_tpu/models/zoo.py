@@ -309,6 +309,17 @@ def quadrotor_euler_dynamics(x, u):
 quadrotor_euler = Model(quadrotor_euler_dynamics, 12, 4, name="quadrotor_euler")
 
 
+def _robot_models():
+    """URDF-rig models (lazy import to avoid cycles)."""
+    from trajopt_tpu.models import robots
+    return {
+        "kuka": robots.kuka_model,
+        "doublependulum_urdf": robots.doublependulum_urdf_model,
+        "acrobot_urdf": robots.acrobot_urdf_model,
+        "cartpole_urdf": robots.cartpole_urdf_model,
+    }
+
+
 MODELS = {
     "pendulum": pendulum,
     "pendulum_uncertain": pendulum_uncertain,
