@@ -111,7 +111,26 @@ def bench_maze():
     return B / dt, converged, float(jnp.median(cmax))
 
 
+def _watchdog(seconds=900):
+    """The TPU tunnel occasionally wedges (execution hangs indefinitely);
+    guarantee ONE JSON line regardless."""
+    import signal
+
+    def handler(signum, frame):
+        print(json.dumps({
+            "metric": "quadrotor_ilqr_solves_per_s", "value": -1.0,
+            "unit": "solves/s", "vs_baseline": -1.0,
+            "error": f"watchdog: TPU unresponsive for {seconds}s",
+        }), flush=True)
+        import os
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+
+
 def main():
+    _watchdog()
     try:
         ilqr_rate, ilqr_conv, ilqr_err = bench_ilqr()
     except Exception as e:
