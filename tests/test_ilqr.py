@@ -132,3 +132,25 @@ def test_batched_vmap_solve():
     c_maxes, xNs = jax.jit(jax.vmap(solve_from))(x0s)
     assert np.all(np.asarray(c_maxes) < 1e-3)
     assert np.allclose(xNs, xf, atol=2e-3)
+
+
+def test_solve_api_dispatch():
+    """Options type selects the solver (reference AbstractSolver dispatch,
+    solvers.jl:60) through the public tt.solve."""
+    from trajopt_tpu.solvers.altro import ALTROOptions
+    from trajopt_tpu.solvers.projected_newton import PNOptions
+
+    prob = _pendulum_problem()
+
+    p1, s1 = tt.solve(prob, tt.iLQROptions(iterations=50))
+    assert np.isfinite(float(s1.J))  # iLQR ignores constraints
+
+    p2, s2 = tt.solve(prob, tt.ALOptions())
+    assert float(s2.c_max) < 1e-3
+
+    p3, s3 = tt.solve(prob, ALTROOptions())
+    assert float(s3.c_max) < 1e-3
+
+    p4, s4 = tt.solve(tt.update_problem(prob, X=p2.X, U=p2.U),
+                      PNOptions(feasibility_tolerance=1e-9))
+    assert float(s4.c_max) < 1e-8
