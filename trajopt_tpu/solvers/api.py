@@ -16,6 +16,7 @@ from trajopt_tpu.solvers.ilqr import iLQROptions
 from trajopt_tpu.solvers.al import ALOptions, al_solve
 from trajopt_tpu.solvers.altro import ALTROOptions, altro_solve
 from trajopt_tpu.solvers.projected_newton import PNOptions, pn_solve
+from trajopt_tpu.solvers.dircol import DIRCOLOptions, dircol_solve
 
 
 class SolverStats(NamedTuple):
@@ -64,4 +65,11 @@ def solve(prob: Problem, opts) -> tuple[Problem, SolverStats]:
         return prob_out, SolverStats(
             J=res.J, c_max=res.c_max, iterations=res.iterations,
             iterations_total=res.iterations, gradient=jnp.zeros(()))
+    if isinstance(opts, DIRCOLOptions):
+        res = dircol_solve(prob, opts)
+        prob_out = update_problem(prob, X=res.X, U=res.U)
+        return prob_out, SolverStats(
+            J=res.J, c_max=jnp.maximum(res.c_max, res.defect_max),
+            iterations=res.iterations, iterations_total=res.iterations,
+            gradient=jnp.zeros(()))
     raise TypeError(f"unknown options type: {type(opts)}")
