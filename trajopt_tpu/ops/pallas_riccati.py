@@ -266,7 +266,9 @@ def riccati_sweep_pallas(A, B, lx, lu, lxx, luu, lux, rho,
     processed in ≤256-problem chunks via ``lax.map`` (sequential chunks cost
     nothing on a single-core chip)."""
     Bz = A.shape[0]
-    chunk = 256 if Bz % 256 == 0 else LANES
+    # 256-wide chunks only for small control dims — larger m blows the VMEM
+    # budget once Mosaic double-buffers (m=17 maze-augmented model OOMs)
+    chunk = 256 if (Bz % 256 == 0 and B.shape[-1] <= 8) else LANES
     if Bz <= chunk:
         return _riccati_sweep_pallas_impl(A, B, lx, lu, lxx, luu, lux, rho,
                                           reg_state, interpret)

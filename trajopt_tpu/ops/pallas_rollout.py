@@ -200,7 +200,7 @@ def rollout_closed_loop_pallas(step_lanes, x0, X, U, K, d, alpha, dt,
     problems per pallas_call to stay within VMEM under Mosaic's block
     double-buffering."""
     Bz = X.shape[0]
-    chunk = 256 if Bz % 256 == 0 else LANES
+    chunk = 256 if (Bz % 256 == 0 and U.shape[-1] <= 8) else LANES
     if Bz <= chunk:
         return _rollout_closed_loop_pallas_impl(step_lanes, x0, X, U, K, d,
                                                 alpha, dt, interpret)
