@@ -236,3 +236,38 @@ def test_primal_pack_roundtrip():
     assert Z.shape == (6 * 3 + 5 * 2,)
     X2, U2 = unpack_primals(Z, 3, 2, 6)
     assert np.allclose(X, X2) and np.allclose(U, U2)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """Checkpoint/resume (SURVEY §5.4 — new capability): save an AL result,
+    reload it, warm-start a new solve from it."""
+    import trajopt_tpu as tt
+    from trajopt_tpu.models.base import discretize
+    from trajopt_tpu.models import zoo as mzoo
+    from trajopt_tpu.solvers.al import ALResult
+    from trajopt_tpu.utils.checkpoint import (
+        save_result, load_result, warm_start,
+    )
+
+    model_d = discretize(mzoo.pendulum, "rk3")
+    xf = np.array([np.pi, 0.0])
+    obj = LQRObjective(np.eye(2) * 1e-3, np.eye(1) * 1e-3, np.eye(2) * 1e-3,
+                       xf, 31)
+    cons = tt.ConstraintSetBuilder(31)
+    cons.add(tt.bound_constraint(2, 1, u_min=-3.0, u_max=3.0))
+    cons.add(tt.goal_constraint(xf))
+    prob = tt.problem(model_d, obj, constraints=cons, x0=np.zeros(2), xf=xf,
+                      N=31, dt=0.15, U0=np.ones((30, 1)))
+    res = tt.al_solve(prob, tt.ALOptions())
+
+    path = str(tmp_path / "ckpt.npz")
+    save_result(path, res, meta={"problem": "pendulum"})
+    res2 = load_result(path, ALResult)
+    assert np.allclose(np.asarray(res.X), res2.X)
+    assert np.allclose(np.asarray(res.lam), res2.lam)
+
+    # warm start converges instantly
+    prob_w = warm_start(prob, res2)
+    res3 = tt.al_solve(prob_w, tt.ALOptions())
+    assert int(res3.iterations_total) <= int(res.iterations_total)
+    assert float(res3.c_max) < 1e-3
