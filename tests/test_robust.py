@@ -116,3 +116,38 @@ def test_hold_trajectory_keeps_arm_still():
     X = rollout(dmodel, x0, U0, 0.01)
     # damping bleeds nothing at rest; gravity comp holds to high accuracy
     assert float(jnp.max(jnp.abs(X[-1, :7] - q0))) < 1e-3
+
+
+def test_kuka_ee_ik_reaches_goal():
+    """(reference kuka_ee_ik + jacobian_transpose_ik!, dynamics/kuka.jl:63-116):
+    IK solution's FK matches the requested point within tol."""
+    kuka = robots.kuka_model()
+    goal = jnp.asarray([0.4, 0.3, 0.8])
+    q, err = robots.kuka_ee_ik(kuka.chain, goal, ee_point=(0.0, 0.0, 0.045),
+                               iterations=300, attempts=8, tol=1e-2)
+    assert err < 1e-2
+    _, ee = kuka.chain.forward_kinematics(q, point=jnp.array([0.0, 0.0, 0.045]))
+    assert float(jnp.linalg.norm(ee - goal)) < 1e-2
+
+
+def test_timer_and_timed_solve():
+    """(reference TimerOutputs spans, SURVEY.md §5.1; wall-clock stats,
+    altro_methods.jl:46-50)."""
+    from trajopt_tpu.utils.timing import Timer, timed_solve
+    from trajopt_tpu.problems import zoo as probs
+
+    t = Timer()
+    with t("outer"):
+        with t("inner"):
+            pass
+        with t("inner"):
+            pass
+    rep = t.report()
+    assert "outer" in rep and "inner" in rep
+    assert t._spans[("outer", "inner")][0] == 2
+
+    prob = probs.pendulum()
+    out, stats, times = timed_solve(
+        prob, tt.ALOptions(opts_uncon=tt.iLQROptions(iterations=50)))
+    assert times["time"] > 0.0 and times["time_compile"] >= 0.0
+    assert float(stats.c_max) < 1e-2

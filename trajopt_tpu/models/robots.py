@@ -157,3 +157,49 @@ def kuka_hold_trajectory(chain: RigidBodyChain, q, N: int):
     q = jnp.asarray(q)
     tau = chain.bias_forces(q, jnp.zeros_like(q))
     return jnp.broadcast_to(tau, (N - 1, q.shape[0]))
+
+
+def kuka_ee_ik(chain: RigidBodyChain, point, ee_point=(0.0, 0.0, 0.0),
+               iterations: int = 1000, attempts: int = 20, tol: float = 1e-2,
+               alpha: float = 0.1, seed: int = 0):
+    """Inverse kinematics for the end-effector point: find q with
+    FK(q) ≈ ``point`` (reference kuka_ee_ik + jacobian_transpose_ik!,
+    dynamics/kuka.jl:63-116).
+
+    TPU-native formulation: the reference retries random seeds sequentially;
+    here all ``attempts`` restarts run as ONE vmapped jacobian-transpose
+    descent (α Jᵀ e updates via ``jax.jacrev`` of the FK point) and the best
+    configuration is selected. Raises if no attempt reaches ``tol``
+    (reference kuka.jl:79-81).
+
+    Returns (q, err).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    point = jnp.asarray(point, jnp.float64)
+    ee = jnp.asarray(ee_point, jnp.float64)
+    nd = len(chain.moving)
+
+    def fk_point(q):
+        return chain.forward_kinematics(q, point=ee)[1]
+
+    jac = jax.jacrev(fk_point)
+
+    def descend(q0):
+        def step(_, q):
+            e = point - fk_point(q)
+            return q + alpha * (jac(q).T @ e)
+        q = jax.lax.fori_loop(0, iterations, step, q0)
+        return q, jnp.linalg.norm(point - fk_point(q))
+
+    key = jax.random.PRNGKey(seed)
+    q0s = jax.random.uniform(key, (attempts, nd), jnp.float64,
+                             -jnp.pi, jnp.pi)
+    qs, errs = jax.jit(jax.vmap(descend))(q0s)
+    best = int(jnp.argmin(errs))
+    if float(errs[best]) > tol:
+        raise RuntimeError(
+            f"IK cannot get sufficiently close to the goal "
+            f"(best err {float(errs[best]):.3g} > tol {tol})")
+    return qs[best], float(errs[best])

@@ -4,3 +4,4 @@ from trajopt_tpu.utils.logging import SolverLogger, print_al_history
 from trajopt_tpu.utils.checkpoint import (
     save_result, load_result, save_pytree, load_leaves, warm_start,
 )
+from trajopt_tpu.utils.timing import Timer, timed_solve
