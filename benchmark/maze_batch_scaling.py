@@ -1,0 +1,72 @@
+"""Maze AL throughput vs batch size (single chip).
+
+Measures how quadrotor_maze constrained solves/s scales with the vmap batch
+B — if the chip is underutilized at small B, throughput grows with B until
+compute-bound. Usage: python benchmark/maze_batch_scaling.py [B ...]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/trajopt_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import jax.numpy as jnp
+
+
+def run(B):
+    import trajopt_tpu as tt
+    from trajopt_tpu.problem import update_problem
+    from trajopt_tpu.problems import zoo as probs
+    from trajopt_tpu.solvers.al import al_solve
+    from trajopt_tpu.solvers.altro import (
+        ALTROOptions, _penalty_rows, infeasible_problem,
+    )
+    from trajopt_tpu.solvers.ilqr import iLQROptions
+
+    dtype = jnp.float32
+    prob = probs.quadrotor_maze(dtype=dtype)
+    prob_inf = infeasible_problem(prob, 1e-8)
+    mu0, sca = _penalty_rows(prob_inf.constraints, ALTROOptions(R_inf=1e-8),
+                             dtype)
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(
+        np.tile(np.asarray(prob.x0)[None], (B, 1))
+        + np.concatenate([rng.normal(size=(B, 3)) * 0.05,
+                          np.zeros((B, 10))], axis=1), dtype)
+    opts = tt.ALOptions(iterations=40, opts_uncon=iLQROptions(iterations=60),
+                        cost_tolerance=1e-5, cost_tolerance_intermediate=1e-4,
+                        constraint_tolerance=1e-3)
+
+    def one(x0):
+        p = update_problem(prob_inf, x0=x0, X=prob_inf.X.at[0].set(x0))
+        return al_solve(p, opts, mu_init=mu0[None, :], penalty_scaling=sca)
+
+    solve = jax.jit(jax.vmap(one))
+    t0 = time.perf_counter()
+    r = solve(x0s)
+    jax.block_until_ready(r.X)
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r = solve(x0s)
+    jax.block_until_ready(r.X)
+    dt = time.perf_counter() - t0
+
+    Xs, Us = r.X[:, :, :13], r.U[:, :, :4]
+    C = jax.vmap(lambda X_, U_: prob.constraints.evaluate(X_, U_))(Xs, Us)
+    cmax = jax.vmap(prob.constraints.max_violation)(C)
+    conv = float(jnp.mean((cmax < 1e-2).astype(jnp.float32)))
+    itot = np.asarray(r.iterations_total)
+    print(f"B={B}: {B/dt:.1f} solves/s ({dt:.2f} s/batch, first {t_first:.1f}s)"
+          f" conv={conv:.3f} it_total med/max={np.median(itot):.0f}/{itot.max()}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    for b in [int(a) for a in (sys.argv[1:] or ["128", "256"])]:
+        run(b)

@@ -154,3 +154,17 @@ def test_solve_api_dispatch():
     p4, s4 = tt.solve(tt.update_problem(prob, X=p2.X, U=p2.U),
                       PNOptions(feasibility_tolerance=1e-9))
     assert float(s4.c_max) < 1e-8
+
+
+def test_warm_start_line_search_converges():
+    """line_search_warm_start (TPU throughput knob, not in the reference)
+    reaches the same solution quality as the reference α=1 backtracking."""
+    prob = _pendulum_problem()
+    r_ref = tt.al_solve(prob, tt.ALOptions())
+    r_ws = tt.al_solve(prob, tt.ALOptions(
+        opts_uncon=tt.iLQROptions(line_search_warm_start=True)))
+    assert float(r_ws.c_max) < 1e-3
+    # both reach the swing-up goal
+    xf = np.array([np.pi, 0.0])
+    assert np.linalg.norm(np.asarray(r_ws.X[-1]) - xf) < 2e-3
+    assert np.linalg.norm(np.asarray(r_ref.X[-1]) - xf) < 2e-3

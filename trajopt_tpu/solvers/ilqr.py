@@ -55,6 +55,13 @@ class iLQROptions:
     max_control_value: float = 1e8
     gradient_type: str = "todorov"
     bp_max_attempts: int = 50  # bound on non-PD retry sweeps (new; ref loops unboundedly)
+    # TPU-native throughput knob (not in the reference): start the
+    # backtracking line search at min(1, 2×last accepted α) instead of 1.
+    # When a problem's accepted step settles at small α (e.g. the quadrotor
+    # tail at α=1/16, see BENCH_LOCAL.md), this removes the 3-4 rejected
+    # rollouts per iteration that α=1 backtracking pays. Default off —
+    # reference semantics (forward_pass.jl:15 starts at α=1).
+    line_search_warm_start: bool = False
     # backward-pass implementation: 'scan' = sequential lax.scan (reference
     # semantics), 'parallel' = associative-scan Riccati (O(log N) depth,
     # SURVEY.md §5.7), 'sqrt' = QR square-root pass (reference
@@ -388,12 +395,14 @@ def _backward_pass_impl(A, B, exp: Expansion, rho, drho, opts: iLQROptions):
 
 
 def forward_pass(model, cost_fn, x0, X, U, K, d, dV1, dV2, J_prev, rho, drho,
-                 dt, opts: iLQROptions):
+                 dt, opts: iLQROptions, alpha0=None):
     """Backtracking line search (reference forwardpass!, forward_pass.jl:5-85).
 
-    Returns (X̄, Ū, J, rho, drho, alpha_used).
+    ``alpha0``: initial step size (default 1; the warm-start option passes
+    2×last accepted α). Returns (X̄, Ū, J, rho, drho, alpha_used).
     """
     big = jnp.asarray(jnp.inf, dtype=X.dtype)
+    alpha0 = jnp.ones((), X.dtype) if alpha0 is None else jnp.asarray(alpha0, X.dtype)
     cl_rollout = _cl_rollout_dispatch(model, opts)
 
     def do_rollout(alpha):
@@ -441,7 +450,7 @@ def forward_pass(model, cost_fn, x0, X, U, K, d, dV1, dV2, J_prev, rho, drho,
                 over, rho_out, drho_out)
 
     zero_i = jnp.zeros((), jnp.int32)
-    init = (jnp.ones((), X.dtype), zero_i, big, -jnp.ones((), X.dtype),
+    init = (alpha0, zero_i, big, -jnp.ones((), X.dtype),
             jnp.zeros((), X.dtype), X, U, jnp.asarray(False), rho, drho)
     alpha, it, J, z, expected, Xb, Ub, done, rho, drho = jax.lax.while_loop(
         cond_fn, body_fn, init
@@ -557,18 +566,26 @@ def ilqr_solve(
     d0 = jnp.zeros((Nm1, m), dtype)
 
     def cond_fn(st):
-        (X, U, K, d, J_prev, dJ, grad, rho_c, drho_c, dJ_zero, it, converged) = st
+        (X, U, K, d, J_prev, dJ, grad, rho_c, drho_c, dJ_zero, it, converged,
+         a_prev) = st
         return (~converged) & (it < opts.iterations) & (J_prev < opts.max_cost_value)
 
     def body_fn(st):
-        (X, U, K, d, J_prev, dJ, grad, rho_c, drho_c, dJ_zero, it, _) = st
+        (X, U, K, d, J_prev, dJ, grad, rho_c, drho_c, dJ_zero, it, _,
+         a_prev) = st
 
         A, B = model.jacobian_traj(X[:-1], U, dt_traj)
         exp = expansion_fn(X, U)
         K, d, dV1, dV2, rho_c, drho_c = backward_pass(A, B, exp, rho_c, drho_c, opts)
+        if opts.line_search_warm_start:
+            # grow from the last accepted step; reset to 1 after exhaustion
+            alpha0 = jnp.where(a_prev > 0.0,
+                               jnp.clip(2.0 * a_prev, 2.0 ** -10, 1.0), 1.0)
+        else:
+            alpha0 = None
         Xn, Un, J, rho_c, drho_c, alpha = forward_pass(
             model, cost_fn, x0, X, U, K, d, dV1, dV2, J_prev, rho_c, drho_c,
-            dt_traj, opts)
+            dt_traj, opts, alpha0=alpha0)
 
         dJ = jnp.abs(J - J_prev)
         grad = gradient_todorov(d, Un)
@@ -577,15 +594,14 @@ def ilqr_solve(
         converged = ((0.0 < dJ) & (dJ < cost_tol)) | (grad < grad_tol) \
             | (dJ_zero > opts.dJ_counter_limit)
         return (Xn, Un, K, d, J, dJ, grad, rho_c, drho_c, dJ_zero,
-                it + 1, converged)
+                it + 1, converged, alpha)
 
     init = (X0, U0, K0, d0, J0, jnp.asarray(jnp.inf, dtype),
             jnp.asarray(jnp.inf, dtype), rho, drho,
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-            jnp.asarray(False))
-    (X, U, K, d, J, dJ, grad, rho, drho, dJ_zero, it, conv) = jax.lax.while_loop(
-        cond_fn, body_fn, init
-    )
+            jnp.asarray(False), jnp.ones((), dtype))
+    (X, U, K, d, J, dJ, grad, rho, drho, dJ_zero, it, conv, _a) = \
+        jax.lax.while_loop(cond_fn, body_fn, init)
     return ILQRResult(X=X, U=U, K=K, d=d, J=J, iterations=it, gradient=grad,
                       dJ=dJ, rho=rho, drho=drho)
 
