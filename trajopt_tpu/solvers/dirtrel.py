@@ -17,9 +17,14 @@ TPU-first differences from the reference:
   as DIRCOL (no Ipopt); the robust cost enters the gradient exactly and the
   Hessian via its nominal block structure (Gauss-Newton treatment of the
   trajectory-coupled robust terms).
-- Constraint tightening uses the axis-aligned ellipsoid extent
-  δx = sqrt(diag(E)+ε) (smooth; the reference pads eigenvalues of a full
-  matrix sqrt, dirtrel.jl:310-420), frozen per outer AL iteration.
+- Constraint tightening matches the reference's vertex scheme: the PSD
+  square roots of E and K E Kᵀ are formed with eigenvalue padding
+  (reference gen_δx/gen_δu, dirtrel.jl:310-420) and inequality rows take
+  the max over the nominal point and the ± column vertices (reference
+  robust_constraints!, dirtrel.jl:496-546). Vertices are frozen per outer
+  AL iteration (one shared multiplier per row instead of the reference's
+  per-vertex rows). State vertices are included here (the reference has
+  them written but disabled, dirtrel.jl:508-517).
 """
 from __future__ import annotations
 
@@ -95,6 +100,15 @@ def _discretize_uncertain(f, integrator="rk3"):
         k3 = dt * fw(x - k1 + 2.0 * k2, u)
         return x + (k1 + 4.0 * k2 + k3) / 6.0
     return step
+
+
+def psd_sqrt(M, eig_pad):
+    """Eigen-padded PSD matrix square root (reference gen_δx/gen_δu,
+    dirtrel.jl:310-420): negative eigenvalues are floored at ``eig_pad``
+    before the square root, so the result is always real and PSD."""
+    w, V = jnp.linalg.eigh(0.5 * (M + jnp.swapaxes(M, -1, -2)))
+    w = jnp.sqrt(jnp.maximum(w, eig_pad))
+    return jnp.einsum("...ij,...j,...kj->...ik", V, w, V)
 
 
 def tvlqr_gains(A, B, Q, R, Qf):
@@ -200,18 +214,26 @@ def dirtrel_solve(prob: Problem, spec: RobustSpec,
         X, UN = split(Z)
         return robust_cost(step_w, X, UN, dt, spec)
 
-    def con_values(Z, dX, dU):
-        """Constraints tightened by frozen ellipsoid extents: evaluate at the
-        worst-case corner x + δx (axis-aligned over-approximation of the
-        reference's per-eigenvector vertices, dirtrel.jl:310-420)."""
+    def con_values(Z, dXcols, dUcols):
+        """Constraints tightened at the frozen ellipsoid vertices
+        (reference robust_constraints!, dirtrel.jl:496-546): inequality rows
+        take the max over the nominal point, X ± column_i(sqrtm(E)) and
+        U ± column_j(sqrtm(K E Kᵀ)); equality rows stay nominal.
+        dXcols (N, n, n), dUcols (N-1, m, m)."""
         X, UN = split(Z)
         if P == 0:
             return jnp.zeros((N, 0), dtype)
         C_nom = cs.evaluate(X, UN[:-1])
-        C_rob = cs.evaluate(X + dX, UN[:-1] + dU[:-1])
-        # tighten only inequality rows; equalities (goal, …) stay nominal
-        return jnp.where(cs.is_eq[None, :], C_nom,
-                         jnp.maximum(C_nom, C_rob))
+        C_rob = C_nom
+        for i in range(n):
+            for s in (1.0, -1.0):
+                C_rob = jnp.maximum(
+                    C_rob, cs.evaluate(X + s * dXcols[:, :, i], UN[:-1]))
+        for j in range(m):
+            for s in (1.0, -1.0):
+                C_rob = jnp.maximum(
+                    C_rob, cs.evaluate(X, UN[:-1] + s * dUcols[:, :, j]))
+        return jnp.where(cs.is_eq[None, :], C_nom, C_rob)
 
     def al_value(Z, lam_d, mu_d, lam_c, mu_c, dX, dU):
         X, UN = split(Z)
@@ -348,21 +370,19 @@ def dirtrel_solve(prob: Problem, spec: RobustSpec,
 
     def outer_body(carry):
         Z, lam_d, mu_d, lam_c, mu_c, it, viol = carry
-        # freeze robust tightening from the current iterate
+        # freeze the robust vertices from the current iterate (reference
+        # gen_δx/gen_δu eig-padded square roots, dirtrel.jl:310-420)
         _, (E, K) = robust_terms(Z)
-        dX = jnp.sqrt(jnp.maximum(
-            jax.vmap(jnp.diag)(E), 0.0) + opts.eig_pad)        # (N, n)
-        dU_stage = jnp.sqrt(jnp.maximum(jnp.einsum(
-            "kin,knl,kjl->kij", K, E[:-1], K), 0.0)[:, jnp.arange(m),
-            jnp.arange(m)] + opts.eig_pad)                      # (N-1, m)
-        dU = jnp.concatenate([dU_stage, dU_stage[-1:]], axis=0)
+        dXcols = psd_sqrt(E, opts.eig_pad)                       # (N, n, n)
+        KEK = jnp.einsum("kin,knl,kjl->kij", K, E[:-1], K)
+        dUcols = psd_sqrt(KEK, opts.eig_pad)                     # (N-1, m, m)
 
-        Z = inner_newton(Z, lam_d, mu_d, lam_c, mu_c, dX, dU)
+        Z = inner_newton(Z, lam_d, mu_d, lam_c, mu_c, dXcols, dUcols)
         gd = eq_residuals(Z)
         lam_d = lam_d + mu_d * gd
         mu_d = jnp.minimum(mu_d * opts.penalty_scaling, opts.penalty_max)
         if P:
-            C = con_values(Z, dX, dU)
+            C = con_values(Z, dXcols, dUcols)
             lam_c = jnp.where(cs.mask, lam_c + mu_c * C, 0.0)
             lam_c = jnp.where(cs.is_eq[None, :], lam_c,
                               jnp.maximum(lam_c, 0.0))
