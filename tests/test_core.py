@@ -271,3 +271,16 @@ def test_checkpoint_roundtrip(tmp_path):
     res3 = tt.al_solve(prob_w, tt.ALOptions())
     assert int(res3.iterations_total) <= int(res.iterations_total)
     assert float(res3.c_max) < 1e-3
+
+
+def test_verbose_live_logging(capsys):
+    """verbose=True streams live iteration rows under jit (reference live
+    InnerLoop/OuterLoop tables, logger.jl)."""
+    import trajopt_tpu as tt
+    from trajopt_tpu.problems import zoo as probs
+
+    res = tt.al_solve(probs.pendulum(), tt.ALOptions(
+        verbose=True, opts_uncon=tt.iLQROptions(verbose=True, iterations=50)))
+    assert float(res.c_max) < 1e-3
+    out = capsys.readouterr().out
+    assert "iLQR it" in out and "AL outer" in out

@@ -41,6 +41,9 @@ class ALOptions:
     penalty_scaling: float = 10.0
     active_constraint_tolerance: float = 0.0
     kickout_max_penalty: bool = False
+    # live per-outer-iteration row via jax.debug.print (reference OuterLoop
+    # table, augmented_lagrangian_methods.jl:79-97 + logger.jl)
+    verbose: bool = False
 
 
 class ALResult(NamedTuple):
@@ -219,6 +222,12 @@ def al_solve(
             converged = converged | (jnp.max(mu) >= opts.penalty_max)
         hist = _record_history(hist, it, res.J, c_max, jnp.max(mu),
                                res.iterations, res.gradient)
+        if opts.verbose:
+            jax.debug.print(
+                "AL outer {it:>3}  cost {J:.6e}  c_max {c:.3e}  "
+                "penalty_max {p:.2e}  inner {inner}",
+                it=it + 1, J=res.J, c=c_max, p=jnp.max(mu),
+                inner=res.iterations)
         return (res.X, res.U, lam, mu, c_max, res.J, it + 1,
                 it_total + res.iterations, res.gradient, converged, hist)
 

@@ -62,6 +62,10 @@ class iLQROptions:
     # rollouts per iteration that α=1 backtracking pays. Default off —
     # reference semantics (forward_pass.jl:15 starts at α=1).
     line_search_warm_start: bool = False
+    # live per-iteration row via jax.debug.print (reference InnerLoop table,
+    # ilqr_methods.jl:84-88 + logger.jl). Runtime-printed even under jit;
+    # intended for un-batched debugging.
+    verbose: bool = False
     # backward-pass implementation: 'scan' = sequential lax.scan (reference
     # semantics), 'parallel' = associative-scan Riccati (O(log N) depth,
     # SURVEY.md §5.7), 'sqrt' = QR square-root pass (reference
@@ -593,6 +597,11 @@ def ilqr_solve(
 
         converged = ((0.0 < dJ) & (dJ < cost_tol)) | (grad < grad_tol) \
             | (dJ_zero > opts.dJ_counter_limit)
+        if opts.verbose:
+            jax.debug.print(
+                "iLQR it {it:>4}  cost {J:.6e}  dJ {dJ:.3e}  grad {g:.3e}  "
+                "alpha {a:.4f}  rho {r:.2e}",
+                it=it + 1, J=J, dJ=dJ, g=grad, a=alpha, r=rho_c)
         return (Xn, Un, K, d, J, dJ, grad, rho_c, drho_c, dJ_zero,
                 it + 1, converged, alpha)
 

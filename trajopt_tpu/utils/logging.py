@@ -3,11 +3,14 @@
 TPU-native counterpart of reference src/logger.jl (SolverLogger with
 OuterLoop/InnerLoop levels rendering live tables, logger.jl:4-8, 297-330).
 
-Under jit, per-iteration printing is impossible; instead the solvers record
-fixed-size history arrays (one row per outer iteration) inside the traced
-loop, and this module renders them as the same style of table on the host
-after the solve. Live streaming for un-jitted debugging is available via
-``jax.debug.print`` hooks (``live=True``).
+Two modes:
+
+- recorded: the solvers record fixed-size history arrays (one row per outer
+  iteration) inside the traced loop; this module renders them as the same
+  style of table on the host after the solve (``print_al_history``).
+- live: ``ALOptions(verbose=True)`` / ``iLQROptions(verbose=True)`` stream
+  one row per iteration through ``jax.debug.print`` even under jit
+  (reference live InnerLoop/OuterLoop tables).
 """
 from __future__ import annotations
 
