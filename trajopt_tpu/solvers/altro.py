@@ -131,6 +131,18 @@ def infeasible_problem(prob: Problem, R_inf: float = 1.0) -> Problem:
         # through the infeasible-start transform
         model_inf.step_lanes = lambda x, u, dt: base_lanes(x, u[:m], dt) + u[m:]
 
+    # structured Jacobian: the n slack controls enter linearly with an
+    # identity block, so differentiate only the base step (n+m tangents
+    # instead of 2n+m — the slack columns are exactly I)
+    base_jac = base._jac
+
+    def jac_inf(x, u, dt):
+        A, Bm = base_jac(x, u[:m], dt)
+        return A, jnp.concatenate(
+            [Bm, jnp.eye(n, dtype=Bm.dtype)], axis=1)
+
+    model_inf._jac = jac_inf
+
     # objective: R ← blkdiag(R, R_inf/dt · I)  (infeasible.jl:8-15)
     obj = prob.obj
     dt0 = float(jax.device_get(prob.dt))
