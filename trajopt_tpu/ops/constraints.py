@@ -86,7 +86,7 @@ def planar_obstacle_constraint(n, m, x_obs, r_obs, label="obstacle"):
 
 def obstacle_field_constraint(circles: Sequence[tuple], label="obstacles",
                               inflate: float = 0.0):
-    """Batch of circular obstacles, e.g. car_escape's 125 circles
+    """Batch of circular obstacles, e.g. car_escape's 170 circles
     (reference problems/car_escape.jl:20-46) or the quadrotor maze cylinders
     (problems/quadrotor_maze.jl:27-67). Evaluated as ONE vectorized op."""
     arr = np.asarray([[c[0], c[1], c[2] + inflate] for c in circles], dtype=np.float64)

@@ -144,7 +144,7 @@ def _escape_circles():
 
 
 def car_escape(dtype=jnp.float64):
-    """(reference problems/car_escape.jl): 125 circles, infeasible-start seed."""
+    """(reference problems/car_escape.jl): 170 circles, infeasible-start seed."""
     model_d = discretize(dynamics.car, "rk3")
     n, m, N = 3, 2, 101
     tf = 3.0
@@ -200,7 +200,7 @@ def quadrotor(dtype=jnp.float64):
 
 
 def _maze_cylinders():
-    """(reference problems/quadrotor_maze.jl:27-62): 42 cylinders."""
+    """(reference problems/quadrotor_maze.jl:27-62): 44 cylinders."""
     r = 2.0
     cylinders = []
     l1, l3, l4 = 5, 4, 10
@@ -222,7 +222,7 @@ def _maze_cylinders():
 
 
 def quadrotor_maze(dtype=jnp.float64):
-    """(reference problems/quadrotor_maze.jl): ALTRO flagship — 42 cylinder
+    """(reference problems/quadrotor_maze.jl): ALTRO flagship — 44 cylinder
     obstacles, state box, terminal velocity box, infeasible-start waypoints."""
     model_d = discretize(dynamics.quadrotor, "rk3")
     n, m, N = 13, 4, 101
