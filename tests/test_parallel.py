@@ -116,3 +116,27 @@ def test_custom_vmap_dispatch_consistency():
     assert np.allclose(np.asarray(resB.J), float(res1.J), rtol=1e-6)
     assert np.allclose(np.asarray(resB.X[0]), np.asarray(res1.X),
                        rtol=1e-1, atol=1e-1)
+
+
+def test_time_sharded_riccati_on_mesh():
+    """Time-axis (sequence-parallel) Riccati over the 8-device virtual mesh
+    ≡ the single-device associative scan ≡ the sequential sweep
+    (SURVEY §5.7)."""
+    from jax.sharding import Mesh
+    from trajopt_tpu.parallel.riccati import time_sharded_backward_pass
+
+    A, B, exp = _bp_inputs(N=33)  # N-1 = 32 divisible by 8
+    rho = jnp.zeros(())
+    drho = jnp.ones(())
+    K0, d0, v1_0, v2_0, _, _ = backward_pass(A, B, exp, rho, drho,
+                                             iLQROptions())
+    mesh = Mesh(np.array(jax.devices()), ("tp",))
+    K, d, v1, v2, S, s = time_sharded_backward_pass(A, B, exp, 0.0, mesh)
+    assert np.allclose(np.asarray(K), np.asarray(K0), atol=1e-8)
+    assert np.allclose(np.asarray(d), np.asarray(d0), atol=1e-8)
+    assert float(v1) == pytest.approx(float(v1_0), abs=1e-8)
+    assert float(v2) == pytest.approx(float(v2_0), abs=1e-8)
+    # divisibility guard
+    with pytest.raises(ValueError):
+        A2, B2, exp2 = _bp_inputs(N=24)  # N-1 = 23 not divisible
+        time_sharded_backward_pass(A2, B2, exp2, 0.0, mesh)

@@ -159,3 +159,105 @@ def parallel_backward_pass(A, B, exp: Expansion, rho=0.0):
     K, d, dV1s, dV2s = jax.vmap(gains)(
         A, B, exp.x[:-1], exp.u, exp.xx[:-1], exp.uu, exp.ux, S[1:], s[1:])
     return K, d, jnp.sum(dV1s), jnp.sum(dV2s), S, s
+
+
+def time_sharded_backward_pass(A, B, exp: Expansion, rho, mesh, axis="tp"):
+    """Riccati sweep with the TIME axis sharded over a device mesh
+    (SURVEY.md §5.7 — the trajectory-optimization analog of sequence
+    parallelism).
+
+    Two-level parallel prefix under ``shard_map``: each device runs a local
+    reverse associative scan over its contiguous block of stage elements,
+    block composites are exchanged with one small ``all_gather`` (the halo),
+    and every device folds the exclusive suffix of later blocks into its
+    local composites. The cost-to-go handoff S_{k+1} for each device's last
+    knot comes from the exclusive suffix — no full-trajectory gather.
+
+    Requires (N-1) divisible by the mesh axis size. Returns
+    (K, d, dV1, dV2, S (N,n,n), s (N,n)) — algebraically identical to
+    :func:`parallel_backward_pass` (tested on the virtual CPU mesh).
+    """
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    n = A.shape[-1]
+    Nm1 = A.shape[0]
+    dtype = A.dtype
+    D = mesh.shape[axis]
+    if Nm1 % D != 0:
+        raise ValueError(f"N-1={Nm1} must be divisible by mesh axis {axis}={D}")
+
+    rho = jnp.asarray(rho, dtype)
+    elems = _stage_elements(A, B, exp, rho)
+
+    # terminal element (pure state cost at knot N), replicated
+    term = (jnp.zeros((n, n), dtype), jnp.zeros((n,), dtype),
+            jnp.zeros((n, n), dtype), -exp.x[-1], exp.xx[-1])
+
+    tshard = P(axis)
+    repl = P()
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(tuple(tshard for _ in elems), tuple(repl for _ in term),
+                       tshard, tshard, tshard, tshard, tshard, tshard, tshard),
+             out_specs=(tshard, tshard, repl, repl, tshard, tshard),
+             check_vma=False)
+    def sharded(elems_l, term_l, A_l, B_l, lx_l, lu_l, lxx_l, luu_l, lux_l):
+        d_idx = jax.lax.axis_index(axis)
+
+        # local reverse suffix scan (same swap convention as above)
+        local = jax.lax.associative_scan(
+            lambda later, earlier: jax.vmap(_combine)(earlier, later),
+            elems_l, reverse=True)
+        block = jax.tree_util.tree_map(lambda x: x[0], local)
+
+        # halo exchange: gather the D block composites, fold blocks strictly
+        # after this device (in time) into the terminal element
+        blocks = jax.lax.all_gather(block, axis)          # leading dim D
+        excl = term_l
+        for j in range(D - 1, -1, -1):
+            bj = jax.tree_util.tree_map(lambda x: x[j], blocks)
+            cand = _combine(bj, excl)
+            excl = jax.tree_util.tree_map(
+                lambda c, e: jnp.where(j > d_idx, c, e), cand, excl)
+
+        # global suffix composites for local knots
+        gsuf = jax.vmap(lambda e: _combine(e, excl),
+                        in_axes=(0,))(local)
+        _, _, _, eta_g, J_g = gsuf
+        S_loc = J_g
+        s_loc = -eta_g
+
+        # cost-to-go at k+1 for the gain solve: shift left; last local knot
+        # takes the exclusive suffix (the halo value)
+        _, _, _, eta_e, J_e = excl
+        S1 = jnp.concatenate([S_loc[1:], J_e[None]], axis=0)
+        s1 = jnp.concatenate([s_loc[1:], -eta_e[None]], axis=0)
+
+        def gains(A_k, B_k, lx, lu, lxx, luu, lux, S1k, s1k):
+            from trajopt_tpu.solvers.ilqr import posdef_solve
+
+            Qu = lu + B_k.T @ s1k
+            Qux = lux + B_k.T @ S1k @ A_k
+            Quu = luu + B_k.T @ S1k @ B_k + rho * jnp.eye(
+                B_k.shape[-1], dtype=dtype)
+            Quu = 0.5 * (Quu + Quu.T)
+            rhs = jnp.concatenate([Qux, Qu[:, None]], axis=1)
+            sol, _ = posdef_solve(Quu, rhs)
+            K_k = -sol[:, :-1]
+            d_k = -sol[:, -1]
+            return K_k, d_k, d_k @ Qu, 0.5 * d_k @ (Quu @ d_k)
+
+        K_l, d_l, dV1_l, dV2_l = jax.vmap(gains)(
+            A_l, B_l, lx_l, lu_l, lxx_l, luu_l, lux_l, S1, s1)
+        dV1 = jax.lax.psum(jnp.sum(dV1_l), axis)
+        dV2 = jax.lax.psum(jnp.sum(dV2_l), axis)
+        return K_l, d_l, dV1, dV2, S_loc, s_loc
+
+    K, d, dV1, dV2, S_head, s_head = sharded(
+        elems, term, A, B, exp.x[:-1], exp.u, exp.xx[:-1], exp.uu, exp.ux)
+    S = jnp.concatenate([S_head, exp.xx[-1][None]], axis=0)
+    s = jnp.concatenate([s_head, exp.x[-1][None]], axis=0)
+    return K, d, dV1, dV2, S, s
