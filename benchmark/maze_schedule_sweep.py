@@ -21,7 +21,7 @@ from trajopt_tpu.solvers.altro import ALTROOptions, _penalty_rows, infeasible_pr
 from trajopt_tpu.solvers.ilqr import iLQROptions
 
 
-def run(tag, mu0_v, scale_v, inner, outer=40):
+def run(tag, mu0_v, scale_v, inner, outer=40, ctol_int=1e-4, ctol=1e-5, seed=0):
     dtype = jnp.float32
     prob = probs.quadrotor_maze(dtype=dtype)
     prob_inf = infeasible_problem(prob, 1e-8)
@@ -30,14 +30,14 @@ def run(tag, mu0_v, scale_v, inner, outer=40):
         prob_inf.constraints,
         ALTROOptions(R_inf=1e-8, opts_al=al_base), dtype)
     B = 128
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     x0s = jnp.asarray(
         np.tile(np.asarray(prob.x0)[None], (B, 1))
         + np.concatenate([rng.normal(size=(B, 3)) * 0.05,
                           np.zeros((B, 10))], axis=1), dtype)
     opts = tt.ALOptions(iterations=outer,
                         opts_uncon=iLQROptions(iterations=inner),
-                        cost_tolerance=1e-5, cost_tolerance_intermediate=1e-4,
+                        cost_tolerance=ctol, cost_tolerance_intermediate=ctol_int,
                         constraint_tolerance=1e-3,
                         penalty_initial=mu0_v, penalty_scaling=scale_v)
 
@@ -64,8 +64,25 @@ def run(tag, mu0_v, scale_v, inner, outer=40):
 
 
 if __name__ == "__main__":
-    run("base mu1 s10 i60", 1.0, 10.0, 60)
-    run("inner30     ", 1.0, 10.0, 30)
-    run("scale25     ", 1.0, 25.0, 60)
-    run("mu10        ", 10.0, 10.0, 60)
-    run("s25 inner30 ", 1.0, 25.0, 30)
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "round4":
+        run("s25 i15 (repeat)   ", 1.0, 25.0, 15, ctol_int=1e-3)
+        run("s25 i12            ", 1.0, 25.0, 12, ctol_int=1e-3)
+        run("s25 i10            ", 1.0, 25.0, 10, ctol_int=1e-3)
+        run("s25 i15 seed1      ", 1.0, 25.0, 15, ctol_int=1e-3, seed=1)
+    elif len(sys.argv) > 1 and sys.argv[1] == "round3":
+        run("s25 i20 ctolint1e-3", 1.0, 25.0, 20, ctol_int=1e-3)
+        run("s25 i15 ctolint1e-3", 1.0, 25.0, 15, ctol_int=1e-3)
+        run("s40 i25 ctolint1e-3", 1.0, 40.0, 25, ctol_int=1e-3)
+        run("s25 i25 o30        ", 1.0, 25.0, 25, outer=30, ctol_int=1e-3)
+    elif len(sys.argv) > 1 and sys.argv[1] == "round2":
+        run("s25 i30 (bench)    ", 1.0, 25.0, 30)
+        run("s25 i30 ctolint1e-3", 1.0, 25.0, 30, ctol_int=1e-3)
+        run("s25 i25 ctolint1e-3", 1.0, 25.0, 25, ctol_int=1e-3)
+        run("s25 i30 ctol1e-4   ", 1.0, 25.0, 30, ctol_int=1e-3, ctol=1e-4)
+    else:
+        run("base mu1 s10 i60", 1.0, 10.0, 60)
+        run("inner30     ", 1.0, 10.0, 30)
+        run("scale25     ", 1.0, 25.0, 60)
+        run("mu10        ", 10.0, 10.0, 60)
+        run("s25 inner30 ", 1.0, 25.0, 30)
