@@ -65,7 +65,17 @@ def run(tag, mu0_v, scale_v, inner, outer=40, ctol_int=1e-4, ctol=1e-5, seed=0):
 
 if __name__ == "__main__":
     import sys
-    if len(sys.argv) > 1 and sys.argv[1] == "round4":
+    if len(sys.argv) > 1 and sys.argv[1] == "round6":
+        run("s25 i12 seed1      ", 1.0, 25.0, 12, ctol_int=1e-3, seed=1)
+        run("s25 i12 seed2      ", 1.0, 25.0, 12, ctol_int=1e-3, seed=2)
+        run("s25 i12 seed3      ", 1.0, 25.0, 12, ctol_int=1e-3, seed=3)
+    elif len(sys.argv) > 1 and sys.argv[1] == "round5":
+        run("s25 i8             ", 1.0, 25.0, 8, ctol_int=1e-3)
+        run("s25 i6             ", 1.0, 25.0, 6, ctol_int=1e-3)
+        run("s25 i10 seed1      ", 1.0, 25.0, 10, ctol_int=1e-3, seed=1)
+        run("s25 i8 seed1       ", 1.0, 25.0, 8, ctol_int=1e-3, seed=1)
+        run("s25 i10 seed2      ", 1.0, 25.0, 10, ctol_int=1e-3, seed=2)
+    elif len(sys.argv) > 1 and sys.argv[1] == "round4":
         run("s25 i15 (repeat)   ", 1.0, 25.0, 15, ctol_int=1e-3)
         run("s25 i12            ", 1.0, 25.0, 12, ctol_int=1e-3)
         run("s25 i10            ", 1.0, 25.0, 10, ctol_int=1e-3)

@@ -124,3 +124,18 @@ def test_quadrotor_maze_altro():
     res = alt.altro_solve(prob, opts)
     assert float(res.c_max) < 1e-5
     assert np.linalg.norm(np.asarray(res.X[-1, :3]) - [0.0, 60.0, 10.0]) < 1e-3
+
+
+def test_small_inner_cap_converges():
+    """Frequent dual updates: capping the inner iLQR loop low (with a faster
+    penalty schedule) still satisfies constraints — the TPU batching lever
+    behind the maze throughput numbers (docs/performance.md)."""
+    prob = probs.PROBLEMS["pendulum"]()
+    opts = tt.ALOptions(iterations=40,
+                        opts_uncon=tt.iLQROptions(iterations=12),
+                        cost_tolerance_intermediate=1e-3,
+                        penalty_scaling=25.0)
+    res = tt.al_solve(prob, opts)
+    assert float(res.c_max) < 1e-3
+    xf = np.array([np.pi, 0.0])
+    assert np.linalg.norm(np.asarray(res.X[-1]) - xf) < 2e-3
