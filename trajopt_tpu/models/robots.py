@@ -197,6 +197,9 @@ def kuka_ee_ik(chain: RigidBodyChain, point, ee_point=(0.0, 0.0, 0.0),
     q0s = jax.random.uniform(key, (attempts, nd), jnp.float64,
                              -jnp.pi, jnp.pi)
     qs, errs = jax.jit(jax.vmap(descend))(q0s)
+    # a diverged restart yields NaN; argmin would select it and NaN > tol
+    # is False, so mask NaNs out before picking the best attempt
+    errs = jnp.where(jnp.isnan(errs), jnp.inf, errs)
     best = int(jnp.argmin(errs))
     if float(errs[best]) > tol:
         raise RuntimeError(

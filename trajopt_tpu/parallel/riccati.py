@@ -102,6 +102,23 @@ def _stage_elements(A, B, exp: Expansion, rho):
     return jax.vmap(make)(A, B, exp.x[:-1], exp.u, exp.xx[:-1], exp.uu, exp.ux)
 
 
+def _gains_from_cost_to_go(A_k, B_k, lu, luu, lux, S1, s1, rho, dtype):
+    """Per-knot gain solve from the cost-to-go at k+1 (same algebra as the
+    sequential sweep, backward_pass.jl:33-67). Shared by the associative-scan
+    and time-sharded sweeps so the two stay algebraically identical."""
+    from trajopt_tpu.solvers.ilqr import posdef_solve
+
+    Qu = lu + B_k.T @ s1
+    Qux = lux + B_k.T @ S1 @ A_k
+    Quu = luu + B_k.T @ S1 @ B_k + rho * jnp.eye(B_k.shape[-1], dtype=dtype)
+    Quu = 0.5 * (Quu + Quu.T)
+    rhs = jnp.concatenate([Qux, Qu[:, None]], axis=1)
+    sol, _ = posdef_solve(Quu, rhs)
+    K_k = -sol[:, :-1]
+    d_k = -sol[:, -1]
+    return K_k, d_k, d_k @ Qu, 0.5 * d_k @ (Quu @ d_k)
+
+
 @precise
 def parallel_backward_pass(A, B, exp: Expansion, rho=0.0):
     """Compute cost-to-go (S, s) at all knots and gains (K, d, ΔV) with
@@ -139,28 +156,15 @@ def parallel_backward_pass(A, B, exp: Expansion, rho=0.0):
     S = J_all
     s = -eta_all
 
-    # gains from the cost-to-go at k+1 (same algebra as the sequential sweep,
-    # backward_pass.jl:33-67, evaluated in one vmap)
-    def gains(A_k, B_k, lx, lu, lxx, luu, lux, S1, s1):
-        Qu = lu + B_k.T @ s1
-        Qux = lux + B_k.T @ S1 @ A_k
-        from trajopt_tpu.solvers.ilqr import posdef_solve
-
-        Quu = luu + B_k.T @ S1 @ B_k + rho * jnp.eye(B_k.shape[-1], dtype=dtype)
-        Quu = 0.5 * (Quu + Quu.T)
-        rhs = jnp.concatenate([Qux, Qu[:, None]], axis=1)
-        sol, _ = posdef_solve(Quu, rhs)
-        K_k = -sol[:, :-1]
-        d_k = -sol[:, -1]
-        dV1_k = d_k @ Qu
-        dV2_k = 0.5 * d_k @ (Quu @ d_k)
-        return K_k, d_k, dV1_k, dV2_k
-
-    K, d, dV1s, dV2s = jax.vmap(gains)(
-        A, B, exp.x[:-1], exp.u, exp.xx[:-1], exp.uu, exp.ux, S[1:], s[1:])
+    # gains from the cost-to-go at k+1 in one vmap
+    K, d, dV1s, dV2s = jax.vmap(
+        lambda A_k, B_k, lu, luu, lux, S1, s1: _gains_from_cost_to_go(
+            A_k, B_k, lu, luu, lux, S1, s1, rho, dtype))(
+        A, B, exp.u, exp.uu, exp.ux, S[1:], s[1:])
     return K, d, jnp.sum(dV1s), jnp.sum(dV2s), S, s
 
 
+@precise
 def time_sharded_backward_pass(A, B, exp: Expansion, rho, mesh, axis="tp"):
     """Riccati sweep with the TIME axis sharded over a device mesh
     (SURVEY.md §5.7 — the trajectory-optimization analog of sequence
@@ -201,10 +205,10 @@ def time_sharded_backward_pass(A, B, exp: Expansion, rho, mesh, axis="tp"):
 
     @partial(shard_map, mesh=mesh,
              in_specs=(tuple(tshard for _ in elems), tuple(repl for _ in term),
-                       tshard, tshard, tshard, tshard, tshard, tshard, tshard),
+                       tshard, tshard, tshard, tshard, tshard),
              out_specs=(tshard, tshard, repl, repl, tshard, tshard),
              check_vma=False)
-    def sharded(elems_l, term_l, A_l, B_l, lx_l, lu_l, lxx_l, luu_l, lux_l):
+    def sharded(elems_l, term_l, A_l, B_l, lu_l, luu_l, lux_l):
         d_idx = jax.lax.axis_index(axis)
 
         # local reverse suffix scan (same swap convention as above)
@@ -236,28 +240,16 @@ def time_sharded_backward_pass(A, B, exp: Expansion, rho, mesh, axis="tp"):
         S1 = jnp.concatenate([S_loc[1:], J_e[None]], axis=0)
         s1 = jnp.concatenate([s_loc[1:], -eta_e[None]], axis=0)
 
-        def gains(A_k, B_k, lx, lu, lxx, luu, lux, S1k, s1k):
-            from trajopt_tpu.solvers.ilqr import posdef_solve
-
-            Qu = lu + B_k.T @ s1k
-            Qux = lux + B_k.T @ S1k @ A_k
-            Quu = luu + B_k.T @ S1k @ B_k + rho * jnp.eye(
-                B_k.shape[-1], dtype=dtype)
-            Quu = 0.5 * (Quu + Quu.T)
-            rhs = jnp.concatenate([Qux, Qu[:, None]], axis=1)
-            sol, _ = posdef_solve(Quu, rhs)
-            K_k = -sol[:, :-1]
-            d_k = -sol[:, -1]
-            return K_k, d_k, d_k @ Qu, 0.5 * d_k @ (Quu @ d_k)
-
-        K_l, d_l, dV1_l, dV2_l = jax.vmap(gains)(
-            A_l, B_l, lx_l, lu_l, lxx_l, luu_l, lux_l, S1, s1)
+        K_l, d_l, dV1_l, dV2_l = jax.vmap(
+            lambda A_k, B_k, lu, luu, lux, S1k, s1k: _gains_from_cost_to_go(
+                A_k, B_k, lu, luu, lux, S1k, s1k, rho, dtype))(
+            A_l, B_l, lu_l, luu_l, lux_l, S1, s1)
         dV1 = jax.lax.psum(jnp.sum(dV1_l), axis)
         dV2 = jax.lax.psum(jnp.sum(dV2_l), axis)
         return K_l, d_l, dV1, dV2, S_loc, s_loc
 
     K, d, dV1, dV2, S_head, s_head = sharded(
-        elems, term, A, B, exp.x[:-1], exp.u, exp.xx[:-1], exp.uu, exp.ux)
+        elems, term, A, B, exp.u, exp.uu, exp.ux)
     S = jnp.concatenate([S_head, exp.xx[-1][None]], axis=0)
     s = jnp.concatenate([s_head, exp.x[-1][None]], axis=0)
     return K, d, dV1, dV2, S, s

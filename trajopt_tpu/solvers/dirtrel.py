@@ -224,15 +224,18 @@ def dirtrel_solve(prob: Problem, spec: RobustSpec,
         if P == 0:
             return jnp.zeros((N, 0), dtype)
         C_nom = cs.evaluate(X, UN[:-1])
-        C_rob = C_nom
-        for i in range(n):
-            for s in (1.0, -1.0):
-                C_rob = jnp.maximum(
-                    C_rob, cs.evaluate(X + s * dXcols[:, :, i], UN[:-1]))
-        for j in range(m):
-            for s in (1.0, -1.0):
-                C_rob = jnp.maximum(
-                    C_rob, cs.evaluate(X, UN[:-1] + s * dUcols[:, :, j]))
+        U_s = UN[:-1]
+        # one vmapped evaluation over all 2(n+m) vertices (a Python loop
+        # would unroll 2(n+m) copies of the constraint stack into the jaxpr)
+        dXv = jnp.concatenate(
+            [jnp.moveaxis(dXcols, 2, 0), -jnp.moveaxis(dXcols, 2, 0)], axis=0)
+        dUv = jnp.concatenate(
+            [jnp.moveaxis(dUcols, 2, 0), -jnp.moveaxis(dUcols, 2, 0)], axis=0)
+        Cx = jax.vmap(lambda dx: cs.evaluate(X + dx, U_s))(dXv)
+        Cu = jax.vmap(lambda du: cs.evaluate(X, U_s + du))(dUv)
+        C_rob = jnp.maximum(C_nom,
+                            jnp.maximum(jnp.max(Cx, axis=0),
+                                        jnp.max(Cu, axis=0)))
         return jnp.where(cs.is_eq[None, :], C_nom, C_rob)
 
     def al_value(Z, lam_d, mu_d, lam_c, mu_c, dX, dU):

@@ -51,13 +51,17 @@ class Timer:
         try:
             yield
         finally:
-            if sync is not None:
-                jax.block_until_ready(sync)
-            dt = time.perf_counter() - t0
-            rec = self._spans.setdefault(path, [0, 0.0])
-            rec[0] += 1
-            rec[1] += dt
-            self._stack.pop()
+            try:
+                if sync is not None:
+                    jax.block_until_ready(sync)
+            finally:
+                # record + pop even if block_until_ready raises, so the
+                # span stack stays consistent for later spans
+                dt = time.perf_counter() - t0
+                rec = self._spans.setdefault(path, [0, 0.0])
+                rec[0] += 1
+                rec[1] += dt
+                self._stack.pop()
 
     def total(self, name: str) -> float:
         """Total seconds across all spans whose leaf name is ``name``."""
@@ -84,13 +88,17 @@ def timed_solve(prob, opts, timer: Optional[Timer] = None):
     from trajopt_tpu.solvers.api import solve
 
     timer = timer or Timer()
+    # per-call deltas (Timer.total() aggregates across ALL same-named spans,
+    # which would double-count when the caller reuses one Timer)
+    before = timer.total("solve (incl. compile)")
     with timer("solve (incl. compile)"):
         out = solve(prob, opts)
         jax.block_until_ready(out[0].X)
-    t_first = timer.total("solve (incl. compile)")
+    t_first = timer.total("solve (incl. compile)") - before
+    before = timer.total("solve")
     with timer("solve"):
         out = solve(prob, opts)
         jax.block_until_ready(out[0].X)
-    t_steady = timer.total("solve")
+    t_steady = timer.total("solve") - before
     times = {"time": t_steady, "time_compile": max(t_first - t_steady, 0.0)}
     return out[0], out[1], times
