@@ -284,3 +284,38 @@ def test_verbose_live_logging(capsys):
     assert float(res.c_max) < 1e-3
     out = capsys.readouterr().out
     assert "iLQR it" in out and "AL outer" in out
+
+
+def test_quaternion_error_state():
+    """Quaternion-aware state differencing (reference rollout.jl:50-57 TODO):
+    inverse consistency, zero at identity, Jacobian consistency."""
+    import jax
+    from trajopt_tpu.models import quaternions as quat
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=4)); q = q / jnp.linalg.norm(q)
+    p = jnp.asarray(rng.normal(size=4)); p = p / jnp.linalg.norm(p)
+
+    assert np.allclose(np.asarray(quat.quat_error(q, q)), 0.0, atol=1e-12)
+    # first-order consistency: error of q⊗[1, θ/2] ≈ θ for small θ
+    th = jnp.asarray([1e-4, -2e-4, 3e-4])
+    dq = jnp.concatenate([jnp.ones(1), th / 2.0])
+    q2 = quat.quat_mul(q, dq / jnp.linalg.norm(dq))
+    assert np.allclose(np.asarray(quat.quat_error(q2, q)), np.asarray(th),
+                       atol=1e-8)
+    # attitude Jacobian matches AD of the error map
+    G = quat.quat_error_jacobian(q)
+    J = jax.jacfwd(lambda t: quat.quat_mul(
+        q, jnp.concatenate([jnp.ones(1), t / 2.0])))(jnp.zeros(3))
+    assert np.allclose(np.asarray(G), np.asarray(J), atol=1e-12)
+
+    # full state diff on a quadrotor-like state (quat at 3:7)
+    x = jnp.concatenate([jnp.asarray([1.0, 2, 3]), q, jnp.asarray(rng.normal(size=6))])
+    xr = jnp.concatenate([jnp.zeros(3), p, jnp.zeros(6)])
+    d = quat.state_diff(x, xr, (3, 7))
+    assert d.shape == (12,)
+    assert np.allclose(np.asarray(d[:3]), [1, 2, 3], atol=1e-12)
+    E = quat.state_diff_jacobian(x, (3, 7))
+    assert E.shape == (13, 12)
+    # identity fallback == reference behavior
+    assert np.allclose(np.asarray(quat.state_diff(x, xr)), np.asarray(x - xr))

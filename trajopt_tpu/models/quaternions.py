@@ -60,3 +60,47 @@ def quat_to_rotmat(q):
 
 def normalize(q):
     return q / jnp.linalg.norm(q)
+
+
+def quat_error(q, q_ref):
+    """3-parameter attitude error between unit quaternions: the Cayley/
+    Rodrigues parameters of q_ref⁻¹ ⊗ q, δθ = vec(dq)/w(dq).
+
+    Completes the reference's quaternion-aware ``state_diff`` TODO
+    (reference rollout.jl:50-57); the parametrization follows the REx-lab
+    quaternion-iLQR line of work (Lmult/quaternions.jl machinery).
+    """
+    dq = Lmult(quat_conj(q_ref)) @ q
+    return 2.0 * dq[1:] / dq[0]
+
+
+def quat_error_jacobian(q):
+    """Attitude Jacobian G(q) (4, 3): d q / d δθ at δθ = 0 for the
+    multiplicative perturbation q ⊗ [1; δθ/2] (unit-norm preserving)."""
+    H = jnp.zeros((4, 3), q.dtype).at[1:, :].set(jnp.eye(3, dtype=q.dtype))
+    return 0.5 * Lmult(q) @ H
+
+
+def state_diff(x, x_ref, quat_slice=None):
+    """δx between states whose ``quat_slice`` block is a unit quaternion:
+    linear difference everywhere, 3-parameter ``quat_error`` for the
+    attitude block — output has n-1 entries (reference rollout.jl:50-57
+    TODO; identity fallback when ``quat_slice`` is None matches the
+    reference's current behavior)."""
+    if quat_slice is None:
+        return x - x_ref
+    a, b = quat_slice
+    dth = quat_error(x[a:b], x_ref[a:b])
+    return jnp.concatenate([x[:a] - x_ref[:a], dth, x[b:] - x_ref[b:]])
+
+
+def state_diff_jacobian(x, quat_slice):
+    """E(x) (n, n-1) with E[quat block] = G(q): maps error-state tangents
+    to raw-state tangents (A_err = E(x')ᵀ A E(x), B_err = E(x')ᵀ B)."""
+    a, b = quat_slice
+    n = x.shape[0]
+    E = jnp.zeros((n, n - 1), x.dtype)
+    E = E.at[:a, :a].set(jnp.eye(a, dtype=x.dtype))
+    E = E.at[a:b, a:a + 3].set(quat_error_jacobian(x[a:b]))
+    E = E.at[b:, a + 3:].set(jnp.eye(n - b, dtype=x.dtype))
+    return E
