@@ -36,5 +36,12 @@ from trajopt_tpu.solvers.al import ALOptions, al_solve, max_violation
 from trajopt_tpu.solvers.altro import ALTROOptions, altro_solve
 from trajopt_tpu.solvers.projected_newton import PNOptions, pn_solve
 from trajopt_tpu.solvers.api import solve, SolverStats
+from trajopt_tpu.solvers.dircol import (
+    DIRCOLOptions, dircol_solve, dircol_mintime_solve,
+)
+from trajopt_tpu.solvers.dirtrel import (
+    DIRTRELOptions, RobustSpec, dirtrel_solve,
+)
+from trajopt_tpu import problems
 
 __version__ = "0.1.0"
