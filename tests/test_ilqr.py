@@ -168,3 +168,41 @@ def test_warm_start_line_search_converges():
     xf = np.array([np.pi, 0.0])
     assert np.linalg.norm(np.asarray(r_ws.X[-1]) - xf) < 2e-3
     assert np.linalg.norm(np.asarray(r_ref.X[-1]) - xf) < 2e-3
+
+
+def test_error_state_quadrotor():
+    """Quaternion error-state iLQR (iLQROptions(error_state=True), beyond
+    the reference's rollout.jl:50-57 TODO): same solution quality in far
+    fewer iterations on the quaternion quadrotor."""
+    from trajopt_tpu.problems import zoo as probs
+
+    prob = probs.quadrotor()
+    r_raw = tt.al_solve(prob, tt.ALOptions(
+        opts_uncon=tt.iLQROptions(iterations=80)))
+    r_err = tt.al_solve(prob, tt.ALOptions(
+        opts_uncon=tt.iLQROptions(iterations=80, error_state=True)))
+    xf = np.asarray(prob.xf[:3])
+    for r in (r_raw, r_err):
+        assert np.linalg.norm(np.asarray(r.X[-1, :3]) - xf) < 1e-3
+    # the error-state formulation needs far fewer iterations
+    assert int(r_err.iterations_total) < int(r_raw.iterations_total) // 2
+    # gains live in the 12-dim tangent space
+    assert r_err.X.shape == r_raw.X.shape
+
+
+def test_error_state_batch_consistency():
+    """Batched (vmap) error-state solve matches single solves."""
+    from trajopt_tpu.problems import zoo as probs
+    from trajopt_tpu.parallel.batch import solve_batch
+
+    prob = probs.quadrotor()
+    opts = tt.ALOptions(opts_uncon=tt.iLQROptions(iterations=30,
+                                                  error_state=True))
+    import jax
+
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(np.tile(np.asarray(prob.x0)[None], (3, 1)))
+    x0s = x0s.at[:, :3].add(jnp.asarray(rng.normal(size=(3, 3)) * 0.1))
+    rb = jax.jit(lambda xs: solve_batch(prob, opts, xs))(x0s)
+    r0 = tt.al_solve(tt.update_problem(prob, x0=x0s[0]), opts)
+    assert np.allclose(np.asarray(rb.X[0]), np.asarray(r0.X), atol=1e-6)

@@ -40,6 +40,9 @@ class Model:
         self.r = r
         self.params = params
         self.name = name
+        # (a, b) slice of a unit-quaternion block in the state, if any —
+        # enables quaternion-aware error-state solves (models/quaternions.py)
+        self.quat_slice = None
         if params is not None:
             self._f = lambda x, u, *w: f(x, u, *w, params)
         else:
@@ -80,6 +83,7 @@ class DiscreteModel:
         self.model = model  # underlying continuous model, if any
         self.integrator = integrator
         self.name = name
+        self.quat_slice = getattr(model, "quat_slice", None)
         self._jac = jax.jacfwd(step, argnums=(0, 1))
 
     def __call__(self, x, u, dt):

@@ -104,3 +104,17 @@ def state_diff_jacobian(x, quat_slice):
     E = E.at[a:b, a:a + 3].set(quat_error_jacobian(x[a:b]))
     E = E.at[b:, a + 3:].set(jnp.eye(n - b, dtype=x.dtype))
     return E
+
+
+def state_diff_jacobian_inv(x, quat_slice):
+    """E⁺(x) (n-1, n): Jacobian of ``state_diff(·, x)`` at coincidence —
+    maps raw-state tangents to error-state tangents. For the attitude block
+    this is 2·(L(q)ᵀ rows 1:), the pseudo-inverse of G(q) (GᵀG = I/4, so
+    Eᵀ alone is NOT the inverse map)."""
+    a, b = quat_slice
+    n = x.shape[0]
+    Ei = jnp.zeros((n - 1, n), x.dtype)
+    Ei = Ei.at[:a, :a].set(jnp.eye(a, dtype=x.dtype))
+    Ei = Ei.at[a:a + 3, a:b].set(2.0 * Lmult(x[a:b]).T[1:, :])
+    Ei = Ei.at[a + 3:, b:].set(jnp.eye(n - b, dtype=x.dtype))
+    return Ei

@@ -235,6 +235,7 @@ def quadrotor_dynamics(x, u, params=None):
 
 
 quadrotor = Model(quadrotor_dynamics, 13, 4, name="quadrotor")
+quadrotor.quat_slice = (3, 7)  # unit quaternion at x[3:7]
 
 # ------------------------------------------------------- quadrotor (Euler)
 # reference dynamics/quadrotor_euler.jl. State (12): pos(3), rpy(3),

@@ -28,7 +28,8 @@ def rollout(model, x0, U, dt):
 
 
 def rollout_closed_loop(model, x0, X, U, K, d, alpha, dt,
-                        max_state_value=1e8, max_control_value=1e8):
+                        max_state_value=1e8, max_control_value=1e8,
+                        quat_slice=None):
     """Closed-loop rollout with TVLQR feedback and line-search step ``alpha``
     (reference src/rollout.jl:2-23):
 
@@ -47,7 +48,13 @@ def rollout_closed_loop(model, x0, X, U, K, d, alpha, dt,
     def step(carry, inp):
         x, diverged = carry
         x_ref, u_ref, K_k, d_k, h = inp
-        du = K_k @ (x - x_ref) + alpha * d_k
+        if quat_slice is not None:
+            from trajopt_tpu.models.quaternions import state_diff
+
+            dx = state_diff(x, x_ref, quat_slice)
+        else:
+            dx = x - x_ref
+        du = K_k @ dx + alpha * d_k
         u = u_ref + du
         x_next = model.step(x, u, h)
         bad = ~(

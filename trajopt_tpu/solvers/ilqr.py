@@ -66,6 +66,12 @@ class iLQROptions:
     # ilqr_methods.jl:84-88 + logger.jl). Runtime-printed even under jit;
     # intended for un-batched debugging.
     verbose: bool = False
+    # quaternion-aware error-state solve (beyond-reference; the reference
+    # left this as a TODO, rollout.jl:50-57): for models with a unit-
+    # quaternion block (model.quat_slice), run the Riccati recursion in the
+    # (n-1)-dim tangent space — Jacobians/expansions projected through the
+    # attitude Jacobian E(x), feedback via the 3-parameter quaternion error.
+    error_state: bool = False
     # backward-pass implementation: 'scan' = sequential lax.scan (reference
     # semantics), 'parallel' = associative-scan Riccati (O(log N) depth,
     # SURVEY.md §5.7), 'sqrt' = QR square-root pass (reference
@@ -469,12 +475,15 @@ def _cl_rollout_dispatch(model, opts: iLQROptions):
     (models.base attaches ``step_lanes`` for registered models)."""
     from jax.custom_batching import custom_vmap
 
+    qs_outer = getattr(model, "quat_slice", None) if opts.error_state else None
+
     @custom_vmap
     def cl(x0, X, U, K, d, alpha, dt):
         return rollout_closed_loop(
             model, x0, X, U, K, d, alpha, dt,
             max_state_value=opts.max_state_value,
-            max_control_value=opts.max_control_value)
+            max_control_value=opts.max_control_value,
+            quat_slice=qs_outer)
 
     @cl.def_vmap
     def _rule(axis_size, in_batched, x0, X, U, K, d, alpha, dt):
@@ -490,8 +499,10 @@ def _cl_rollout_dispatch(model, opts: iLQROptions):
         ab = bc(alpha, in_batched[5])
 
         step_lanes = getattr(model, "step_lanes", None)
+        qs = getattr(model, "quat_slice", None) if opts.error_state else None
         use_pallas = (
-            step_lanes is not None
+            qs is None
+            and step_lanes is not None
             and jax.default_backend() == "tpu"
             and axis_size % 128 == 0
             and Xb.dtype == jnp.float32
@@ -510,7 +521,8 @@ def _cl_rollout_dispatch(model, opts: iLQROptions):
                            rollout_closed_loop(
                                model, x0_, X_, U_, K_, d_, a_, dt_,
                                max_state_value=opts.max_state_value,
-                               max_control_value=opts.max_control_value))(
+                               max_control_value=opts.max_control_value,
+                               quat_slice=qs))(
                 x0b, Xb, Ub, Kb, db, ab, dtb)
         return out, (True, True, True)
 
@@ -566,8 +578,34 @@ def ilqr_solve(
 
     m, n = U0.shape[-1], X0.shape[-1]
     Nm1 = U0.shape[0]
-    K0 = jnp.zeros((Nm1, m, n), dtype)
+    qs = getattr(model, "quat_slice", None) if opts.error_state else None
+    ns = n - 1 if qs is not None else n     # error-state tangent dim
+    K0 = jnp.zeros((Nm1, m, ns), dtype)
     d0 = jnp.zeros((Nm1, m), dtype)
+
+    if qs is not None:
+        from trajopt_tpu.models.quaternions import (
+            state_diff_jacobian, state_diff_jacobian_inv,
+        )
+
+        def project_err(X, A, B, exp):
+            """Project dynamics Jacobians + expansion into the tangent space:
+            A_err = E⁺(x') A E(x), B_err = E⁺(x') B (E⁺ = the error-map
+            Jacobian, NOT Eᵀ — the attitude block of E is not orthonormal),
+            lx_err = E(x)ᵀ lx, lxx_err = E(x)ᵀ lxx E(x) (Gauss-Newton:
+            E's curvature dropped)."""
+            E = jax.vmap(lambda x: state_diff_jacobian(x, qs))(X)   # (N,n,ns)
+            Ei = jax.vmap(lambda x: state_diff_jacobian_inv(x, qs))(X)
+            A_e = jnp.einsum("kji,kil,klp->kjp", Ei[1:], A, E[:-1])
+            B_e = jnp.einsum("kji,kil->kjl", Ei[1:], B)
+            exp_e = Expansion(
+                x=jnp.einsum("kij,ki->kj", E, exp.x),
+                xx=jnp.einsum("kij,kil,klp->kjp", E, exp.xx, E),
+                u=exp.u,
+                uu=exp.uu,
+                ux=jnp.einsum("kpi,kij->kpj", exp.ux, E[:-1]),
+            )
+            return A_e, B_e, exp_e
 
     def cond_fn(st):
         (X, U, K, d, J_prev, dJ, grad, rho_c, drho_c, dJ_zero, it, converged,
@@ -580,6 +618,8 @@ def ilqr_solve(
 
         A, B = model.jacobian_traj(X[:-1], U, dt_traj)
         exp = expansion_fn(X, U)
+        if qs is not None:
+            A, B, exp = project_err(X, A, B, exp)
         K, d, dV1, dV2, rho_c, drho_c = backward_pass(A, B, exp, rho_c, drho_c, opts)
         if opts.line_search_warm_start:
             # grow from the last accepted step; reset to 1 after exhaustion
