@@ -57,3 +57,34 @@ def test_pallas_rollout_matches_scan():
                        atol=1e-4)
     assert np.allclose(np.asarray(ref[1])[good], np.asarray(Up)[good],
                        atol=1e-4)
+
+
+def test_pallas_rollout_error_state_matches_scan():
+    """Error-state feedback inside the fused kernel == scan rollout with
+    the quaternion state-diff (interpret mode)."""
+    from trajopt_tpu.ops.pallas_rollout import quadrotor_state_diff_lanes
+
+    model_d = tt.discretize(zoo.quadrotor, "rk3")
+    B, N, n, m, ns = 128, 15, 13, 4, 12
+    rng = np.random.default_rng(1)
+    x0 = np.zeros((B, n), np.float32)
+    x0[:, 3] = 1.0
+    x0[:, 2] = 10.0
+    x0[:, :3] += rng.normal(size=(B, 3)).astype(np.float32) * 0.1
+    X = np.tile(x0[:, None, :], (1, N, 1)).astype(np.float32)
+    U = np.full((B, N - 1, m), 0.5 * 9.81 / 4, np.float32)
+    K = (rng.normal(size=(B, N - 1, m, ns)) * 0.01).astype(np.float32)
+    d = (rng.normal(size=(B, N - 1, m)) * 0.01).astype(np.float32)
+    alpha = np.full((B,), 0.5, np.float32)
+    dt = 0.05
+
+    args = tuple(map(jnp.asarray, (x0, X, U, K, d, alpha)))
+    ref = jax.vmap(lambda x0_, X_, U_, K_, d_, a_: rollout_closed_loop(
+        model_d, x0_, X_, U_, K_, d_, a_, dt,
+        quat_slice=(3, 7)))(*args)
+    Xp, Up, okp = rollout_closed_loop_pallas(
+        quadrotor_step_lanes, *args, dt, interpret=True,
+        diff_lanes=quadrotor_state_diff_lanes)
+    assert np.array_equal(np.asarray(ref[2]), np.asarray(okp))
+    assert np.allclose(np.asarray(ref[0]), np.asarray(Xp), atol=1e-4)
+    assert np.allclose(np.asarray(ref[1]), np.asarray(Up), atol=1e-4)

@@ -123,9 +123,12 @@ def discretize(model: Model, integrator: str = "rk3") -> DiscreteModel:
     # registered for this (model, integrator) — used by the fused TPU
     # forward-pass kernel (ops/pallas_rollout.py)
     if (model.name, name) == ("quadrotor", "rk3"):
-        from trajopt_tpu.ops.pallas_rollout import quadrotor_step_lanes
+        from trajopt_tpu.ops.pallas_rollout import (
+            quadrotor_state_diff_lanes, quadrotor_step_lanes,
+        )
 
         dmodel.step_lanes = quadrotor_step_lanes
+        dmodel.state_diff_lanes = quadrotor_state_diff_lanes
     return dmodel
 
 

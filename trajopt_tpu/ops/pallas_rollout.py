@@ -78,6 +78,23 @@ def quadrotor_dynamics_lanes(x, u):
                       ax, ay, az, dwx, dwy, dwz])
 
 
+def quadrotor_state_diff_lanes(x, xr):
+    """Lane-batched quaternion error state-diff for the quadrotor layout
+    (quat at rows 3:7): rows [dp(3), dth(3), dv(3), dw(3)], each (B,)
+    (models/quaternions.py state_diff with quat_slice=(3, 7))."""
+    qw, qx, qy, qz = x[3], x[4], x[5], x[6]
+    rw, rx, ry, rz = xr[3], xr[4], xr[5], xr[6]
+    # dq = conj(q_ref) ⊗ q
+    dw, dx_, dy, dz = _quat_mul_lanes(rw, -rx, -ry, -rz, qw, qx, qy, qz)
+    inv = 2.0 / dw
+    return jnp.stack([
+        x[0] - xr[0], x[1] - xr[1], x[2] - xr[2],
+        dx_ * inv, dy * inv, dz * inv,
+        x[7] - xr[7], x[8] - xr[8], x[9] - xr[9],
+        x[10] - xr[10], x[11] - xr[11], x[12] - xr[12],
+    ])
+
+
 def quadrotor_step_lanes(x, u, dt):
     """RK3-ZOH step, batch-last (reference integration.jl:149-158)."""
     k1 = dt * quadrotor_dynamics_lanes(x, u)
@@ -88,7 +105,7 @@ def quadrotor_step_lanes(x, u, dt):
 
 # ----------------------------------------------------------------- kernel
 
-def _rollout_kernel(step_lanes, N,
+def _rollout_kernel(step_lanes, diff_lanes, N,
                     x0_ref, X_ref, U_ref, K_ref, d_ref, alpha_ref, dt_ref,
                     Xout_ref, Uout_ref, ok_ref):
     """One batch tile: full closed-loop sweep.
@@ -103,7 +120,7 @@ def _rollout_kernel(step_lanes, N,
 
     def body(k, carry):
         x, okm = carry                       # (n, B), (B,) f32 1/0
-        dx = x - X_ref[0, k]
+        dx = diff_lanes(x, X_ref[0, k])
         Kk = K_ref[0, k]                     # (m, n, B)
         u = U_ref[0, k] + jnp.sum(Kk * dx[None, :, :], axis=1) \
             + alpha[None, :] * d_ref[0, k]
@@ -124,7 +141,7 @@ def _rollout_kernel(step_lanes, N,
 
 
 def _rollout_closed_loop_pallas_impl(step_lanes, x0, X, U, K, d, alpha, dt,
-                               interpret=False):
+                               interpret=False, diff_lanes=None):
     """Fused batched closed-loop rollout.
 
     Batch-first inputs matching ``vmap(rollout_closed_loop)``:
@@ -136,6 +153,7 @@ def _rollout_closed_loop_pallas_impl(step_lanes, x0, X, U, K, d, alpha, dt,
     Bt = LANES
     Bsz, N, n = X.shape
     m = U.shape[-1]
+    ns = K.shape[-1]                         # tangent dim (n, or n-1 error-state)
     assert Bsz % Bt == 0, "batch must be a multiple of 128"
     nb = Bsz // Bt
     dtype = X.dtype
@@ -152,7 +170,9 @@ def _rollout_closed_loop_pallas_impl(step_lanes, x0, X, U, K, d, alpha, dt,
     a_l = to_lanes(alpha[:, None])           # (nb, 1, Bt)
     dt_l = to_lanes(jnp.broadcast_to(jnp.asarray(dt, dtype), (Bsz,))[:, None])
 
-    kern = functools.partial(_rollout_kernel, step_lanes, N)
+    if diff_lanes is None:
+        diff_lanes = lambda x, xr: x - xr
+    kern = functools.partial(_rollout_kernel, step_lanes, diff_lanes, N)
 
     def bspec(shape):
         nd = len(shape)
@@ -167,7 +187,7 @@ def _rollout_closed_loop_pallas_impl(step_lanes, x0, X, U, K, d, alpha, dt,
             bspec((n, Bt)),
             bspec((N, n, Bt)),
             bspec((N - 1, m, Bt)),
-            bspec((N - 1, m, n, Bt)),
+            bspec((N - 1, m, ns, Bt)),
             bspec((N - 1, m, Bt)),
             bspec((1, Bt)),
             bspec((1, Bt)),
@@ -195,7 +215,7 @@ def _rollout_closed_loop_pallas_impl(step_lanes, x0, X, U, K, d, alpha, dt,
 
 
 def rollout_closed_loop_pallas(step_lanes, x0, X, U, K, d, alpha, dt,
-                               interpret=False):
+                               interpret=False, diff_lanes=None):
     """Chunked front-end (see pallas_riccati.riccati_sweep_pallas): ≤256
     problems per pallas_call to stay within VMEM under Mosaic's block
     double-buffering."""
@@ -203,7 +223,8 @@ def rollout_closed_loop_pallas(step_lanes, x0, X, U, K, d, alpha, dt,
     chunk = 256 if (Bz % 256 == 0 and U.shape[-1] <= 8) else LANES
     if Bz <= chunk:
         return _rollout_closed_loop_pallas_impl(step_lanes, x0, X, U, K, d,
-                                                alpha, dt, interpret)
+                                                alpha, dt, interpret,
+                                                diff_lanes)
     nchunk = Bz // chunk
 
     def resh(x):
@@ -211,6 +232,6 @@ def rollout_closed_loop_pallas(step_lanes, x0, X, U, K, d, alpha, dt,
 
     out = jax.lax.map(
         lambda args: _rollout_closed_loop_pallas_impl(step_lanes, *args, dt,
-                                                      interpret),
+                                                      interpret, diff_lanes),
         tuple(resh(x) for x in (x0, X, U, K, d, alpha)))
     return tuple(o.reshape((Bz,) + o.shape[2:]) for o in out)

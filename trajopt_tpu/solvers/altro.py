@@ -130,6 +130,8 @@ def infeasible_problem(prob: Problem, R_inf: float = 1.0) -> Problem:
         # layout: u is (m+n, B)) — keeps the Pallas forward pass active
         # through the infeasible-start transform
         model_inf.step_lanes = lambda x, u, dt: base_lanes(x, u[:m], dt) + u[m:]
+        if getattr(base, "state_diff_lanes", None) is not None:
+            model_inf.state_diff_lanes = base.state_diff_lanes
 
     # structured Jacobian: the n slack controls enter linearly with an
     # identity block, so differentiate only the base step (n+m tangents

@@ -500,8 +500,9 @@ def _cl_rollout_dispatch(model, opts: iLQROptions):
 
         step_lanes = getattr(model, "step_lanes", None)
         qs = getattr(model, "quat_slice", None) if opts.error_state else None
+        diff_lanes = getattr(model, "state_diff_lanes", None) if qs is not None else None
         use_pallas = (
-            qs is None
+            (qs is None or diff_lanes is not None)
             and step_lanes is not None
             and jax.default_backend() == "tpu"
             and axis_size % 128 == 0
@@ -514,7 +515,8 @@ def _cl_rollout_dispatch(model, opts: iLQROptions):
             from trajopt_tpu.ops.pallas_rollout import rollout_closed_loop_pallas
 
             out = rollout_closed_loop_pallas(
-                step_lanes, x0b, Xb, Ub, Kb, db, ab, dt[0])
+                step_lanes, x0b, Xb, Ub, Kb, db, ab, dt[0],
+                diff_lanes=diff_lanes)
         else:
             dtb = bc(dt, in_batched[6])
             out = jax.vmap(lambda x0_, X_, U_, K_, d_, a_, dt_:
