@@ -70,8 +70,13 @@ def quat_error(q, q_ref):
     (reference rollout.jl:50-57); the parametrization follows the REx-lab
     quaternion-iLQR line of work (Lmult/quaternions.jl machinery).
     """
-    dq = Lmult(quat_conj(q_ref)) @ q
-    return 2.0 * dq[1:] / dq[0]
+    # cancellation-free form: conj(q_ref) ⊗ q = [|q_ref|²,0,0,0]
+    # + conj(q_ref) ⊗ (q − q_ref); the difference e is exact in floating
+    # point and all products are small, so the f32 error is relative to
+    # |δθ| instead of absolute ~ε (critical for f32 TPU solves with hot
+    # feedback gains).
+    de = Lmult(quat_conj(q_ref)) @ (q - q_ref)
+    return 2.0 * de[1:] / (q_ref @ q_ref + de[0])
 
 
 def quat_error_jacobian(q):

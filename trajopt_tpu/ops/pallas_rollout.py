@@ -84,9 +84,12 @@ def quadrotor_state_diff_lanes(x, xr):
     (models/quaternions.py state_diff with quat_slice=(3, 7))."""
     qw, qx, qy, qz = x[3], x[4], x[5], x[6]
     rw, rx, ry, rz = xr[3], xr[4], xr[5], xr[6]
-    # dq = conj(q_ref) ⊗ q
-    dw, dx_, dy, dz = _quat_mul_lanes(rw, -rx, -ry, -rz, qw, qx, qy, qz)
-    inv = 2.0 / dw
+    # cancellation-free: dq = conj(q_ref) ⊗ (q − q_ref), scalar += |q_ref|²
+    # (see models/quaternions.quat_error)
+    ew, ex, ey, ez = qw - rw, qx - rx, qy - ry, qz - rz
+    dw, dx_, dy, dz = _quat_mul_lanes(rw, -rx, -ry, -rz, ew, ex, ey, ez)
+    nrm = rw * rw + rx * rx + ry * ry + rz * rz
+    inv = 2.0 / (nrm + dw)
     return jnp.stack([
         x[0] - xr[0], x[1] - xr[1], x[2] - xr[2],
         dx_ * inv, dy * inv, dz * inv,
