@@ -206,3 +206,19 @@ def test_error_state_batch_consistency():
     rb = jax.jit(lambda xs: solve_batch(prob, opts, xs))(x0s)
     r0 = tt.al_solve(tt.update_problem(prob, x0=x0s[0]), opts)
     assert np.allclose(np.asarray(rb.X[0]), np.asarray(r0.X), atol=1e-6)
+
+
+def test_error_state_f32_with_sqrt_bp():
+    """f32 regression for the cancellation-free quaternion error: the
+    error-state + QR-sqrt combination must solve the hot-gain quadrotor in
+    single precision (the naive quat-error product form loses all f32
+    accuracy at small attitude errors; see BENCH_LOCAL.md)."""
+    from __graft_entry__ import _quadrotor_problem
+
+    prob = _quadrotor_problem(N=101, dtype=jnp.float32)
+    res = tt.al_solve(prob, tt.ALOptions(opts_uncon=tt.iLQROptions(
+        iterations=100, error_state=True, bp_type="sqrt")))
+    err = float(jnp.linalg.norm(
+        res.X[-1, :3] - jnp.asarray([0.0, 60.0, 10.0], jnp.float32)))
+    assert err < 0.01
+    assert int(res.iterations_total) < 60

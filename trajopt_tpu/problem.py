@@ -67,6 +67,11 @@ def problem(
     """
     N, dt, tf = _validate_time(N, tf, dt, obj)
     n, m = model.n, model.m
+    # cast the objective to the problem dtype — otherwise an f64-built
+    # objective silently promotes every solver internal to f64 under x64
+    import jax
+
+    obj = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), obj)
     x0 = jnp.zeros((n,), dtype) if x0 is None else jnp.asarray(x0, dtype)
     xf = jnp.zeros((n,), dtype) if xf is None else jnp.asarray(xf, dtype)
     if U0 is None:
