@@ -287,11 +287,20 @@ def _bp_dispatch(opts: iLQROptions):
                 exp, in_batched[2]),
             bc(rho, in_batched[3]), bc(drho, in_batched[4]))
 
+        # VMEM guard: one 128-lane tile of all kernel inputs/outputs must
+        # fit on-chip (no double buffering at grid ≤ 2, and the chunked
+        # front-ends cap the grid) — long horizons fall back to the scan
+        # path instead of OOMing the kernel
+        Nm1_, n_, m_ = bA.shape[1], bA.shape[-1], bB.shape[-1]
+        tile_bytes = 4 * 128 * (
+            Nm1_ * (n_ * n_ + n_ * m_ + m_ + m_ * m_ + 2 * m_ * n_ + m_)
+            + (Nm1_ + 1) * (n_ + n_ * n_))
         use_pallas = (
             jax.default_backend() == "tpu"
             and not (opts.square_root or opts.bp_type in ("sqrt", "parallel"))
             and axis_size % 128 == 0
             and bA.dtype == jnp.float32
+            and tile_bytes < 90 * 1024 * 1024
         )
         if use_pallas:
             out = _bp_batched_pallas(bA, bB, bexp, brho, bdrho, opts)
@@ -501,8 +510,12 @@ def _cl_rollout_dispatch(model, opts: iLQROptions):
         step_lanes = getattr(model, "step_lanes", None)
         qs = getattr(model, "quat_slice", None) if opts.error_state else None
         diff_lanes = getattr(model, "state_diff_lanes", None) if qs is not None else None
+        N_, n_, m_ = Xb.shape[1], Xb.shape[-1], Ub.shape[-1]
+        ns_ = Kb.shape[-1]
+        roll_bytes = 4 * 128 * (N_ * 2 * n_ + (N_ - 1) * (2 * m_ + m_ * ns_))
         use_pallas = (
             (qs is None or diff_lanes is not None)
+            and roll_bytes < 90 * 1024 * 1024
             and step_lanes is not None
             and jax.default_backend() == "tpu"
             and axis_size % 128 == 0
