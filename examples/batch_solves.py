@@ -31,6 +31,8 @@ from trajopt_tpu.problems import zoo as probs
 
 def main(B=32):
     on_tpu = jax.default_backend() != "cpu"
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
     dtype = jnp.float32 if on_tpu else jnp.float64
     prob = probs.pendulum(dtype=dtype)
 

@@ -124,7 +124,7 @@ def _rollout_kernel(step_lanes, diff_lanes, N,
     def body(k, carry):
         x, okm = carry                       # (n, B), (B,) f32 1/0
         dx = diff_lanes(x, X_ref[0, k])
-        Kk = K_ref[0, k]                     # (m, n, B)
+        Kk = K_ref[0, k]                     # (m, ns, B) — ns = tangent dim
         u = U_ref[0, k] + jnp.sum(Kk * dx[None, :, :], axis=1) \
             + alpha[None, :] * d_ref[0, k]
         x_next = step_lanes(x, u, dt)

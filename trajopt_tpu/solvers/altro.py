@@ -124,6 +124,9 @@ def infeasible_problem(prob: Problem, R_inf: float = 1.0) -> Problem:
     model_inf = DiscreteModel(step, n, m + n, model=base.model,
                               integrator=base.integrator,
                               name=base.name + "_infeasible")
+    # the quaternion block lives on the DISCRETE model the solver reads;
+    # copy it like the lane attrs (slack controls don't change the state)
+    model_inf.quat_slice = getattr(base, "quat_slice", None)
     base_lanes = getattr(base, "step_lanes", None)
     if base_lanes is not None:
         # lane-batched step for the slack-augmented model (batch-last

@@ -108,6 +108,24 @@ def reg_decrease(rho, drho, opts: iLQROptions):
     return rho, drho
 
 
+_PALLAS_VMEM_BUDGET = 90 * 1024 * 1024
+
+
+def _bp_tile_bytes(Nm1, n, m):
+    """f32 bytes of ONE 128-lane tile of every Riccati-kernel buffer
+    (A, B, lx, lu, lxx, luu, lux, rho in; K, d, dV, fail out; scratch)."""
+    return 4 * 128 * (
+        Nm1 * (n * n + n * m + m + m * m + 2 * m * n + m)
+        + (Nm1 + 1) * (n + n * n) + n + n * n + 6)
+
+
+def _rollout_tile_bytes(N, n, m, ns):
+    """f32 bytes of one 128-lane tile of every rollout-kernel buffer
+    (x0, X, U, K, d, alpha, dt in; Xout, Uout, ok out)."""
+    return 4 * 128 * (
+        n + 2 * N * n + (N - 1) * (2 * m + m * ns + m) + 3)
+
+
 def posdef_solve(S, rhs):
     """Solve S X = rhs for small symmetric positive-definite S with fully
     unrolled Gaussian elimination (no pivoting — PD ⇒ stable).
@@ -291,16 +309,13 @@ def _bp_dispatch(opts: iLQROptions):
         # fit on-chip (no double buffering at grid ≤ 2, and the chunked
         # front-ends cap the grid) — long horizons fall back to the scan
         # path instead of OOMing the kernel
-        Nm1_, n_, m_ = bA.shape[1], bA.shape[-1], bB.shape[-1]
-        tile_bytes = 4 * 128 * (
-            Nm1_ * (n_ * n_ + n_ * m_ + m_ + m_ * m_ + 2 * m_ * n_ + m_)
-            + (Nm1_ + 1) * (n_ + n_ * n_))
         use_pallas = (
             jax.default_backend() == "tpu"
             and not (opts.square_root or opts.bp_type in ("sqrt", "parallel"))
             and axis_size % 128 == 0
             and bA.dtype == jnp.float32
-            and tile_bytes < 90 * 1024 * 1024
+            and _bp_tile_bytes(bA.shape[1], bA.shape[-1], bB.shape[-1])
+                < _PALLAS_VMEM_BUDGET
         )
         if use_pallas:
             out = _bp_batched_pallas(bA, bB, bexp, brho, bdrho, opts)
@@ -510,12 +525,10 @@ def _cl_rollout_dispatch(model, opts: iLQROptions):
         step_lanes = getattr(model, "step_lanes", None)
         qs = getattr(model, "quat_slice", None) if opts.error_state else None
         diff_lanes = getattr(model, "state_diff_lanes", None) if qs is not None else None
-        N_, n_, m_ = Xb.shape[1], Xb.shape[-1], Ub.shape[-1]
-        ns_ = Kb.shape[-1]
-        roll_bytes = 4 * 128 * (N_ * 2 * n_ + (N_ - 1) * (2 * m_ + m_ * ns_))
         use_pallas = (
             (qs is None or diff_lanes is not None)
-            and roll_bytes < 90 * 1024 * 1024
+            and _rollout_tile_bytes(Xb.shape[1], Xb.shape[-1], Ub.shape[-1],
+                                    Kb.shape[-1]) < _PALLAS_VMEM_BUDGET
             and step_lanes is not None
             and jax.default_backend() == "tpu"
             and axis_size % 128 == 0
