@@ -21,7 +21,7 @@ from trajopt_tpu.solvers.altro import ALTROOptions, _penalty_rows, infeasible_pr
 from trajopt_tpu.solvers.ilqr import iLQROptions
 
 
-def run(tag, mu0_v, scale_v, inner, outer=40, ctol_int=1e-4, ctol=1e-5, seed=0):
+def run(tag, mu0_v, scale_v, inner, outer=40, ctol_int=1e-4, ctol=1e-5, seed=0, mu_obs=None):
     dtype = jnp.float32
     prob = probs.quadrotor_maze(dtype=dtype)
     prob_inf = infeasible_problem(prob, 1e-8)
@@ -29,6 +29,9 @@ def run(tag, mu0_v, scale_v, inner, outer=40, ctol_int=1e-4, ctol=1e-5, seed=0):
     mu0, sca = _penalty_rows(
         prob_inf.constraints,
         ALTROOptions(R_inf=1e-8, opts_al=al_base), dtype)
+    if mu_obs is not None:
+        r0, r1 = prob_inf.constraints.row_slice("maze")
+        mu0 = mu0.at[r0:r1].set(mu_obs)
     B = 128
     rng = np.random.default_rng(seed)
     x0s = jnp.asarray(
@@ -65,7 +68,11 @@ def run(tag, mu0_v, scale_v, inner, outer=40, ctol_int=1e-4, ctol=1e-5, seed=0):
 
 if __name__ == "__main__":
     import sys
-    if len(sys.argv) > 1 and sys.argv[1] == "round6":
+    if len(sys.argv) > 1 and sys.argv[1] == "round7":
+        run("i10 mu_obs5        ", 1.0, 25.0, 10, ctol_int=1e-3, mu_obs=5.0)
+        run("i10 s50            ", 1.0, 50.0, 10, ctol_int=1e-3)
+        run("i10 ctolint3e-3    ", 1.0, 25.0, 10, ctol_int=3e-3)
+    elif len(sys.argv) > 1 and sys.argv[1] == "round6":
         run("s25 i12 seed1      ", 1.0, 25.0, 12, ctol_int=1e-3, seed=1)
         run("s25 i12 seed2      ", 1.0, 25.0, 12, ctol_int=1e-3, seed=2)
         run("s25 i12 seed3      ", 1.0, 25.0, 12, ctol_int=1e-3, seed=3)
