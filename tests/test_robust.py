@@ -151,3 +151,42 @@ def test_timer_and_timed_solve():
         prob, tt.ALOptions(opts_uncon=tt.iLQROptions(iterations=50)))
     assert times["time"] > 0.0 and times["time_compile"] >= 0.0
     assert float(stats.c_max) < 1e-2
+
+
+def test_dirtrel_vertex_tightening_backs_off_bounds():
+    """The eig-padded vertex tightening (reference robust_constraints!,
+    dirtrel.jl:496-546) must keep robust controls strictly inside their
+    bounds with positive margin wherever the ellipsoid has extent — the
+    nominal solve may ride the bound itself."""
+    from trajopt_tpu.solvers.dirtrel import psd_sqrt
+
+    prob = _uncertain_pendulum_problem()
+    spec = _spec()
+
+    def vertex_violation(U, E, K):
+        KEK = np.einsum("kin,knl,kjl->kij", np.asarray(K),
+                        np.asarray(E[:-1]), np.asarray(K))
+        dU = np.asarray(psd_sqrt(jnp.asarray(KEK), 1e-8))
+        du_ext = np.abs(dU).sum(axis=-1)[:, 0]   # column extent, m=1
+        return float(np.max(np.abs(np.asarray(U)[:, 0]) + du_ext - 3.0))
+
+    res = dirtrel_solve(prob, spec, DIRTRELOptions())
+    assert float(res.c_max) < 1e-6
+    v_rob = vertex_violation(res.U, res.E, res.K)
+
+    res0 = dircol_solve(prob, DIRCOLOptions())
+    step_w = _discretize_uncertain(prob.model.model.dynamics)
+    _, (E0, K0) = robust_cost(step_w, res0.X, res0.U_knots, prob.dt, spec)
+    v_nom = vertex_violation(res0.U_knots[:-1], E0, K0)
+
+    # robust vertices stay (near-)feasible — small lag allowed because the
+    # vertices are frozen per outer AL iteration — while the nominal optimum
+    # violates them materially
+    assert v_rob < 0.05
+    assert v_rob < 0.5 * max(v_nom, 1e-9) or v_nom <= 0.0
+
+    # psd_sqrt squares back to the input
+    KEK = np.einsum("kin,knl,kjl->kij", np.asarray(res.K),
+                    np.asarray(res.E[:-1]), np.asarray(res.K))
+    M = np.asarray(psd_sqrt(jnp.asarray(KEK), 1e-10))
+    assert np.allclose(np.einsum("kij,kjl->kil", M, M), KEK, atol=1e-6)
