@@ -88,8 +88,14 @@ def run_case(name, solver_name, batch=0):
     print(json.dumps(out))
 
     if batch and solver_name == "al":
+        # plain AL with a finite infeasible X seed returns the seed
+        # (the documented trap) — batch the NaN-seeded problem
+        p_b = prob
+        if infeasible:
+            p_b = tt.update_problem(
+                prob, X=jnp.full_like(prob.X, jnp.nan).at[0].set(prob.x0))
         x0s = jnp.broadcast_to(prob.x0, (batch,) + prob.x0.shape)
-        fn = jax.jit(lambda xs: solve_batch(prob, tt.ALOptions(), xs))
+        fn = jax.jit(lambda xs: solve_batch(p_b, tt.ALOptions(), xs))
         r = fn(x0s)
         jax.block_until_ready(r.X)
         t0 = time.perf_counter()
