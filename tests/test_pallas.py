@@ -88,3 +88,18 @@ def test_pallas_rollout_error_state_matches_scan():
     assert np.array_equal(np.asarray(ref[2]), np.asarray(okp))
     assert np.allclose(np.asarray(ref[0]), np.asarray(Xp), atol=1e-4)
     assert np.allclose(np.asarray(ref[1]), np.asarray(Up), atol=1e-4)
+
+
+def test_cartpole_lanes_matches_model():
+    """Lane-batched cartpole step == model step (enables the fused Pallas
+    forward pass for cartpole solves)."""
+    from trajopt_tpu.ops.pallas_rollout import cartpole_step_lanes
+
+    model_d = tt.discretize(zoo.cartpole, "rk3")
+    assert model_d.step_lanes is cartpole_step_lanes
+    rng = np.random.default_rng(2)
+    X = jnp.asarray(rng.normal(size=(16, 4)), jnp.float64)
+    U = jnp.asarray(rng.normal(size=(16, 1)), jnp.float64)
+    ref = jax.vmap(lambda x, u: model_d.step(x, u, 0.05))(X, U)
+    lanes = cartpole_step_lanes(X.T, U.T, 0.05).T
+    assert np.allclose(np.asarray(ref), np.asarray(lanes), atol=1e-12)

@@ -129,6 +129,10 @@ def discretize(model: Model, integrator: str = "rk3") -> DiscreteModel:
 
         dmodel.step_lanes = quadrotor_step_lanes
         dmodel.state_diff_lanes = quadrotor_state_diff_lanes
+    elif (model.name, name) == ("cartpole", "rk3"):
+        from trajopt_tpu.ops.pallas_rollout import cartpole_step_lanes
+
+        dmodel.step_lanes = cartpole_step_lanes
     return dmodel
 
 

@@ -106,6 +106,38 @@ def quadrotor_step_lanes(x, u, dt):
     return x + (k1 + 4.0 * k2 + k3) / 6.0
 
 
+# ------------------------------------------------------ batch-last cartpole
+
+def cartpole_dynamics_lanes(x, u):
+    """Continuous cartpole dynamics, batch-last: x (4, B), u (1, B) — the
+    2x2 mass-matrix solve written as an explicit inverse (same model as
+    models.zoo.cartpole_dynamics, reference dynamics/cartpole.jl)."""
+    mc, mp, l, g = 1.0, 0.2, 0.5, 9.81
+    th, v, w = x[1], x[2], x[3]
+    s = jnp.sin(th)
+    c = jnp.cos(th)
+
+    # H = [[mc+mp, mp l c], [mp l c, mp l^2]]
+    h11 = mc + mp
+    h12 = mp * l * c
+    h22 = mp * l * l
+    det = h11 * h22 - h12 * h12
+    # rhs = B u - C qd - G  with C qd = [-mp w l s * w, 0], G = [0, mp g l s]
+    r1 = u[0] + mp * w * l * s * w
+    r2 = -mp * g * l * s
+    vd = (h22 * r1 - h12 * r2) / det
+    wd = (h11 * r2 - h12 * r1) / det
+    return jnp.stack([v, w, vd, wd])
+
+
+def cartpole_step_lanes(x, u, dt):
+    """RK3-ZOH step, batch-last."""
+    k1 = dt * cartpole_dynamics_lanes(x, u)
+    k2 = dt * cartpole_dynamics_lanes(x + 0.5 * k1, u)
+    k3 = dt * cartpole_dynamics_lanes(x - k1 + 2.0 * k2, u)
+    return x + (k1 + 4.0 * k2 + k3) / 6.0
+
+
 # ----------------------------------------------------------------- kernel
 
 def _rollout_kernel(step_lanes, diff_lanes, N,
