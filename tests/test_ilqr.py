@@ -213,9 +213,9 @@ def test_error_state_f32_with_sqrt_bp():
     error-state + QR-sqrt combination must solve the hot-gain quadrotor in
     single precision (the naive quat-error product form loses all f32
     accuracy at small attitude errors; see BENCH_LOCAL.md)."""
-    from __graft_entry__ import _quadrotor_problem
+    from trajopt_tpu.problems.zoo import quadrotor_line
 
-    prob = _quadrotor_problem(N=101, dtype=jnp.float32)
+    prob = quadrotor_line(N=101, dtype=jnp.float32)
     res = tt.al_solve(prob, tt.ALOptions(opts_uncon=tt.iLQROptions(
         iterations=100, error_state=True, bp_type="sqrt")))
     err = float(jnp.linalg.norm(

@@ -124,7 +124,8 @@ def car_3obs(dtype=jnp.float64):
 
 
 def _escape_circles():
-    """(reference problems/car_escape.jl:20-46): 125 obstacle circles."""
+    """(reference problems/car_escape.jl:20-46): 170 obstacle circles
+    (3·30 + 50 + 2·15)."""
     r = 0.5
     s1, s2, s3 = 30, 50, 15
     circles = []
@@ -166,6 +167,48 @@ def car_escape(dtype=jnp.float64):
     ]).T
     X0 = interp_rows(N, tf, X_guess)
     return initial_states(prob, X0)
+
+
+def quadrotor_line(N=101, dtype=jnp.float64, constrained=False,
+                   distance=60.0):
+    """Flagship benchmark/dryrun problem: quadrotor ``distance``-meter
+    translation at an arbitrary horizon (reference problems/quadrotor.jl
+    spec, tf=5, minus bounds). ``constrained=True`` adds the u ≥ 0 bound
+    and the goal equality so AL convergence (c_max) is a meaningful
+    assertion even at tiny dryrun horizons (the full 60 m dash at N≲17 is
+    marginal even in f64 — ~9e-4 worst-case c_max — so sharding gates use
+    a shorter leg)."""
+    model_d = discretize(dynamics.quadrotor, "rk3")
+    n, m = 13, 4
+    x0 = np.zeros(n)
+    x0[0:3] = [0.0, 0.0, 10.0]
+    x0[3] = 1.0
+    xf = np.zeros(n)
+    xf[0:3] = [0.0, distance, 10.0]
+    xf[3] = 1.0
+    Q = np.eye(n) * 1e-3
+    Q[3:7, 3:7] = np.eye(4) * 1e-2
+    obj = LQRObjective(Q, np.eye(m) * 1e-4, np.eye(n) * 1000.0, xf, N)
+    cons = None
+    if constrained:
+        from trajopt_tpu.ops.constraints import custom_constraint
+
+        # position + velocity goal equality (the quaternion block is left to
+        # the terminal cost: an exact attitude equality from perturbed
+        # starts is f32-unreachable at tiny dryrun horizons)
+        xf_pv = jnp.asarray(np.concatenate([xf[0:3], xf[7:10]]))
+
+        def goal_pv(x, u):
+            return jnp.concatenate([x[0:3], x[7:10]]) - xf_pv.astype(x.dtype)
+
+        cons = ConstraintSetBuilder(N)
+        cons.add(bound_constraint(n, m, u_min=0.0, label="bnd_u"),
+                 knots=range(0, N - 1))
+        cons.add(custom_constraint(goal_pv, 6, label="goal_pv",
+                                   equality=True, applies="terminal"))
+    return problem(model_d, obj, constraints=cons, x0=x0, xf=xf, N=N,
+                   dt=5.0 / (N - 1),
+                   U0=np.full((N - 1, m), 0.5 * 9.81 / 4.0), dtype=dtype)
 
 
 def quadrotor(dtype=jnp.float64):
