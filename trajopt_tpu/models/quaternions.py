@@ -75,8 +75,17 @@ def quat_error(q, q_ref):
     # point and all products are small, so the f32 error is relative to
     # |δθ| instead of absolute ~ε (critical for f32 TPU solves with hot
     # feedback gains).
+    #
+    # The Cayley map is invariant to the q → −q double cover (both v and w
+    # of dq negate, so 2v/w is unchanged); its real singularity is a 180°
+    # relative rotation (w → 0), inherent to any 3-parameter chart. A
+    # sign-preserving floor on the denominator keeps the output finite
+    # there — a huge-but-finite δθ that the forward pass's divergence guard
+    # handles, instead of an Inf/NaN that poisons the while_loop state.
     de = Lmult(quat_conj(q_ref)) @ (q - q_ref)
-    return 2.0 * de[1:] / (q_ref @ q_ref + de[0])
+    w = q_ref @ q_ref + de[0]
+    w_safe = jnp.where(jnp.abs(w) < 1e-6, jnp.where(w < 0, -1e-6, 1e-6), w)
+    return 2.0 * de[1:] / w_safe
 
 
 def quat_error_jacobian(q):

@@ -177,8 +177,9 @@ def kuka_ee_ik(chain: RigidBodyChain, point, ee_point=(0.0, 0.0, 0.0),
     import jax
     import jax.numpy as jnp
 
-    point = jnp.asarray(point, jnp.float64)
-    ee = jnp.asarray(ee_point, jnp.float64)
+    ftype = jnp.result_type(float)   # f64 under x64, f32 otherwise
+    point = jnp.asarray(point, ftype)
+    ee = jnp.asarray(ee_point, ftype)
     nd = len(chain.moving)
 
     def fk_point(q):
@@ -194,7 +195,7 @@ def kuka_ee_ik(chain: RigidBodyChain, point, ee_point=(0.0, 0.0, 0.0),
         return q, jnp.linalg.norm(point - fk_point(q))
 
     key = jax.random.PRNGKey(seed)
-    q0s = jax.random.uniform(key, (attempts, nd), jnp.float64,
+    q0s = jax.random.uniform(key, (attempts, nd), ftype,
                              -jnp.pi, jnp.pi)
     qs, errs = jax.jit(jax.vmap(descend))(q0s)
     # a diverged restart yields NaN; argmin would select it and NaN > tol

@@ -89,7 +89,12 @@ def quadrotor_state_diff_lanes(x, xr):
     ew, ex, ey, ez = qw - rw, qx - rx, qy - ry, qz - rz
     dw, dx_, dy, dz = _quat_mul_lanes(rw, -rx, -ry, -rz, ew, ex, ey, ez)
     nrm = rw * rw + rx * rx + ry * ry + rz * rz
-    inv = 2.0 / (nrm + dw)
+    # sign-preserving denominator floor at the 180°-error singularity
+    # (kept equivalent to models/quaternions.quat_error)
+    den = nrm + dw
+    den = jnp.where(jnp.abs(den) < 1e-6,
+                    jnp.where(den < 0, -1e-6, 1e-6), den)
+    inv = 2.0 / den
     return jnp.stack([
         x[0] - xr[0], x[1] - xr[1], x[2] - xr[2],
         dx_ * inv, dy * inv, dz * inv,
