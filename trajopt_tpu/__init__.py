@@ -37,7 +37,7 @@ from trajopt_tpu.solvers.altro import ALTROOptions, altro_solve
 from trajopt_tpu.solvers.projected_newton import PNOptions, pn_solve
 from trajopt_tpu.solvers.api import solve, SolverStats
 from trajopt_tpu.solvers.dircol import (
-    DIRCOLOptions, dircol_solve, dircol_mintime_solve,
+    DIRCOLMinTimeOptions, DIRCOLOptions, dircol_solve, dircol_mintime_solve,
 )
 from trajopt_tpu.solvers.dirtrel import (
     DIRTRELOptions, RobustSpec, dirtrel_solve,

@@ -16,7 +16,10 @@ from trajopt_tpu.solvers.ilqr import iLQROptions
 from trajopt_tpu.solvers.al import ALOptions, al_solve
 from trajopt_tpu.solvers.altro import ALTROOptions, altro_solve
 from trajopt_tpu.solvers.projected_newton import PNOptions, pn_solve
-from trajopt_tpu.solvers.dircol import DIRCOLOptions, dircol_solve
+from trajopt_tpu.solvers.dircol import (
+    DIRCOLMinTimeOptions, DIRCOLOptions, dircol_mintime_solve, dircol_solve,
+)
+from trajopt_tpu.solvers.dirtrel import DIRTRELOptions, dirtrel_solve
 
 
 class SolverStats(NamedTuple):
@@ -29,8 +32,12 @@ class SolverStats(NamedTuple):
     gradient: jnp.ndarray
 
 
-def solve(prob: Problem, opts) -> tuple[Problem, SolverStats]:
+def solve(prob: Problem, opts, spec=None) -> tuple[Problem, SolverStats]:
     """Solve ``prob`` with the solver selected by ``opts``'s type.
+
+    ``spec``: a ``RobustSpec`` — required when ``opts`` is
+    ``DIRTRELOptions`` (the disturbance model is problem data, not a
+    solver knob).
 
     Returns (solved problem with updated X/U, stats).
     """
@@ -67,6 +74,26 @@ def solve(prob: Problem, opts) -> tuple[Problem, SolverStats]:
             iterations_total=res.iterations, gradient=jnp.zeros(()))
     if isinstance(opts, DIRCOLOptions):
         res = dircol_solve(prob, opts)
+        prob_out = update_problem(prob, X=res.X, U=res.U)
+        return prob_out, SolverStats(
+            J=res.J, c_max=jnp.maximum(res.c_max, res.defect_max),
+            iterations=res.iterations, iterations_total=res.iterations,
+            gradient=jnp.zeros(()))
+    if isinstance(opts, DIRCOLMinTimeOptions):
+        res = dircol_mintime_solve(
+            prob, R_min_time=opts.R_min_time, h_max=opts.h_max,
+            h_min=opts.h_min, opts=opts.dircol, equal_steps=opts.equal_steps)
+        prob_out = update_problem(prob, X=res.X, U=res.U)
+        return prob_out, SolverStats(
+            J=res.J, c_max=jnp.maximum(res.c_max, res.defect_max),
+            iterations=res.iterations, iterations_total=res.iterations,
+            gradient=jnp.zeros(()))
+    if isinstance(opts, DIRTRELOptions):
+        if spec is None:
+            raise ValueError(
+                "DIRTREL needs the disturbance model: solve(prob, opts, "
+                "spec=RobustSpec(...))")
+        res = dirtrel_solve(prob, spec, opts)
         prob_out = update_problem(prob, X=res.X, U=res.U)
         return prob_out, SolverStats(
             J=res.J, c_max=jnp.maximum(res.c_max, res.defect_max),

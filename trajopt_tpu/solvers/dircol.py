@@ -51,6 +51,19 @@ class DIRCOLOptions:
     linesearch_iters: int = 20
 
 
+@static_dataclass
+class DIRCOLMinTimeOptions:
+    """Options-type selector for the min-time DIRCOL variant so the generic
+    ``solve()`` dispatch covers it (reference solve! covers every solver,
+    src/solvers.jl:91-123; min-time knobs from dircol_mintime.jl)."""
+
+    R_min_time: float = 1.0
+    h_max: float = 1.0
+    h_min: float = 1e-3
+    equal_steps: bool = False
+    dircol: DIRCOLOptions = DIRCOLOptions()
+
+
 class DIRCOLResult(NamedTuple):
     X: jnp.ndarray          # (N, n)
     U: jnp.ndarray          # (N-1, m) — knot controls mapped back
