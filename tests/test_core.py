@@ -319,3 +319,89 @@ def test_quaternion_error_state():
     assert E.shape == (13, 12)
     # identity fallback == reference behavior
     assert np.allclose(np.asarray(quat.state_diff(x, xr)), np.asarray(x - xr))
+
+
+def test_quadrotor_euler_matches_quaternion_model():
+    """The Euler-angle quadrotor (full rpy_ddot incl. the dPhi/Rdot
+    correction terms, reference quadrotor_euler.jl:63-83 — here derived by
+    AD of the kinematic map G = Phi·R) must trace the SAME physical motion
+    as the quaternion quadrotor from a matched aggressive non-hover state.
+    The round-1 hover-only approximation fails this by construction."""
+    import jax
+    from trajopt_tpu.models import zoo
+
+    # matched non-hover initial state: tilted, rotating, translating
+    rpy0 = jnp.array([0.3, -0.25, 0.6])
+    rpyd0 = jnp.array([0.8, -0.5, 0.4])
+    vel0 = jnp.array([1.0, -2.0, 0.5])
+    pos0 = jnp.array([0.0, 0.0, 10.0])
+
+    R0 = zoo._rpy2rotmat(rpy0)
+    omega0 = R0.T @ (zoo._rpydot2angularvel_matrix(rpy0) @ rpyd0)
+
+    # rpy -> quaternion (ZYX convention matching _rpy2rotmat)
+    def rpy_to_quat(rpy):
+        hr, hp, hy = rpy / 2.0
+        qx = jnp.array([jnp.cos(hr), jnp.sin(hr), 0.0, 0.0])
+        qy = jnp.array([jnp.cos(hp), 0.0, jnp.sin(hp), 0.0])
+        qz = jnp.array([jnp.cos(hy), 0.0, 0.0, jnp.sin(hy)])
+        return zoo.quat_mul(qz, zoo.quat_mul(qy, qx))
+
+    q0 = rpy_to_quat(rpy0)
+    x_e = jnp.concatenate([pos0, rpy0, vel0, rpyd0])
+    x_q = jnp.concatenate([pos0, q0, vel0, omega0])
+
+    # identical asymmetric control (far from hover thrust)
+    u = jnp.array([1.6, 1.1, 1.3, 0.9])
+    dt, steps = 1e-3, 300
+
+    def rk4(f, x, u, dt):
+        k1 = f(x, u)
+        k2 = f(x + 0.5 * dt * k1, u)
+        k3 = f(x + 0.5 * dt * k2, u)
+        k4 = f(x + dt * k3, u)
+        return x + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    def sim(f, x):
+        def body(x, _):
+            xn = rk4(f, x, u, dt)
+            return xn, None
+        return jax.lax.scan(body, x, None, length=steps)[0]
+
+    xe_T = sim(lambda x, u: zoo.quadrotor_euler_dynamics(x, u), x_e)
+    xq_T = sim(lambda x, u: zoo.quadrotor_dynamics(x, u), x_q)
+
+    # compare positions, velocities, attitude (as rotation matrices) and
+    # body angular velocity after 0.3 s of aggressive motion
+    assert np.allclose(xe_T[0:3], xq_T[0:3], atol=1e-6)      # position
+    assert np.allclose(xe_T[6:9], xq_T[7:10], atol=1e-5)     # velocity
+    R_e = zoo._rpy2rotmat(xe_T[3:6])
+    q_T = xq_T[3:7] / jnp.linalg.norm(xq_T[3:7])
+    R_q = jnp.stack([zoo.quat_rotate(q_T, e)
+                     for e in jnp.eye(3)], axis=1)
+    assert np.allclose(np.asarray(R_e), np.asarray(R_q), atol=1e-5)
+    omega_e = R_e.T @ (zoo._rpydot2angularvel_matrix(xe_T[3:6])
+                       @ xe_T[9:12])
+    assert np.allclose(np.asarray(omega_e), np.asarray(xq_T[10:13]),
+                       atol=1e-4)
+
+
+def test_implicit_integrator_nonconvergence_poisons():
+    """A non-converged implicit Newton step must NOT return silent garbage:
+    the reference errors after 1000 iterations (src/integration.jl:55-59);
+    the XLA-native equivalent is NaN-poisoning, which the solvers' existing
+    divergence guards catch. Classic Newton-divergent case: stiff arctan
+    dynamics from a far initial guess."""
+    from trajopt_tpu.ops.integration import midpoint_implicit, rk3_implicit
+
+    f = lambda x, u: -100.0 * jnp.arctan(x)
+    x0 = jnp.array([10.0])
+    u0 = jnp.zeros(1)
+    for integ in (midpoint_implicit, rk3_implicit):
+        y = integ(f)(x0, u0, 2.0)
+        assert bool(jnp.all(jnp.isnan(y))), f"{integ.__name__} silent garbage"
+        # benign stiff-but-convergent step is NOT poisoned and is accurate
+        g = lambda x, u: -x
+        y_ok = integ(g)(jnp.array([1.0]), u0, 0.1)
+        assert bool(jnp.all(jnp.isfinite(y_ok)))
+        assert abs(float(y_ok[0]) - np.exp(-0.1)) < 1e-3

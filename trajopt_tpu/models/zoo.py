@@ -7,6 +7,7 @@ traceable, vmappable and dtype-polymorphic.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from trajopt_tpu.models.base import Model
@@ -298,11 +299,15 @@ def quadrotor_euler_dynamics(x, u):
                      Mo[0] - Mo[1] + Mo[2] - Mo[3]])
     pqr_dot = Jinv @ (tau - jnp.cross(pqr, J @ pqr))
 
-    # rpy accelerations: rpydd ≈ Phi * R * pqr_dot (dominant term; the
-    # reference adds dPhi/dR correction terms — reproduced via AD-free
-    # approximation consistent at hover where the bundled problems operate)
-    Phi = _angularvel2rpydot_matrix(rpy)
-    rpy_ddot = Phi @ (R @ pqr_dot)
+    # rpy accelerations — full product rule on rpyd = G(rpy)·pqr with
+    # G = Phi·R (reference quadrotor_euler.jl:63-83 expands dPhi and Rdot
+    # by hand; here Ġ = jvp(G)(rpy; rpyd) is the same two correction terms
+    # derived by AD):  rpÿ = G·pqṙ + Ġ·pqr.
+    def G(rpy_):
+        return _angularvel2rpydot_matrix(rpy_) @ _rpy2rotmat(rpy_)
+
+    G_val, G_dot = jax.jvp(G, (rpy,), (rpyd,))
+    rpy_ddot = G_val @ pqr_dot + G_dot @ pqr
 
     return jnp.concatenate([x[6:12], xyz_ddot, rpy_ddot])
 

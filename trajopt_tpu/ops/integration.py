@@ -70,13 +70,34 @@ def rk4(f: ContinuousFn):
 _IMPLICIT_ITERS = 20  # Newton iterations; reference iterates to 1e-12 (≤1000)
 
 
+def _poison_unconverged(y, g, x):
+    """NaN-poison a non-converged implicit step.
+
+    The reference ERRORS after 1000 non-converged Newton iterations
+    (src/integration.jl:55-59). XLA cannot raise from compiled code, so the
+    TPU-native equivalent is to return NaN, which every downstream failure
+    path already detects (rollout divergence guard, backward-pass isfinite
+    masks, line-search restore) — instead of silently returning garbage.
+
+    Tolerance is dtype-relative: eps^0.75 · (1 + |x|) ≈ 1e-12 in f64
+    (matching the reference's fixed 1e-12) and ≈ 2e-5 in f32. NaN-poisoning
+    is AD-safe: the poison branch is a constant, so its tangent is zero and
+    ``jnp.where`` selects the live branch's tangent.
+    """
+    eps = jnp.finfo(x.dtype).eps
+    tol = eps ** 0.75 * (1.0 + jnp.linalg.norm(x))
+    ok = jnp.linalg.norm(g) <= tol
+    return jnp.where(ok, y, jnp.full_like(y, jnp.nan))
+
+
 def midpoint_implicit(f: ContinuousFn):
     """Implicit midpoint rule (reference src/integration.jl:44-68).
 
     Solves y = x + dt*f((x+y)/2, u) by Newton iteration with the exact
     state Jacobian of f (via jacfwd). Fixed trip count; converges
     quadratically so 20 iterations reach fp64 tolerance on the bundled
-    models.
+    models. A step whose final residual misses the dtype tolerance is
+    NaN-poisoned (see :func:`_poison_unconverged`).
     """
     jac_x = jax.jacfwd(f, argnums=0)
 
@@ -90,13 +111,17 @@ def midpoint_implicit(f: ContinuousFn):
             dg = eye - 0.5 * dt * jac_x(xm, u)
             return y - jnp.linalg.solve(dg, g)
 
-        return jax.lax.fori_loop(0, _IMPLICIT_ITERS, newton, x)
+        y = jax.lax.fori_loop(0, _IMPLICIT_ITERS, newton, x)
+        g = y - x - dt * f(0.5 * (x + y), u)
+        return _poison_unconverged(y, g, x)
 
     return step
 
 
 def rk3_implicit(f: ContinuousFn):
-    """Implicit RK3 / Hermite-Simpson style step (reference src/integration.jl:171-210)."""
+    """Implicit RK3 / Hermite-Simpson style step (reference
+    src/integration.jl:171-210). Non-converged steps are NaN-poisoned
+    (see :func:`_poison_unconverged`)."""
     jac_x = jax.jacfwd(f, argnums=0)
 
     def step(x, u, dt):
@@ -104,17 +129,24 @@ def rk3_implicit(f: ContinuousFn):
         eye = jnp.eye(n, dtype=x.dtype)
         fc1 = f(x, u)
 
-        def newton(_, y):
+        def residual(y):
             fc3 = f(y, u)
             xm = 0.5 * (x + y) + dt / 8.0 * (fc1 - fc3)
             fc2 = f(xm, u)
-            g = y - x - dt / 6.0 * fc1 - 4.0 / 6.0 * dt * fc2 - dt / 6.0 * fc3
+            return (y - x - dt / 6.0 * fc1 - 4.0 / 6.0 * dt * fc2
+                    - dt / 6.0 * fc3)
+
+        def newton(_, y):
+            fc3 = f(y, u)
+            xm = 0.5 * (x + y) + dt / 8.0 * (fc1 - fc3)
+            g = residual(y)
             a1 = jac_x(xm, u)
             a2 = jac_x(y, u)
             dg = eye - 4.0 / 6.0 * dt * a1 @ (0.5 * eye - dt / 8.0 * a2) - dt / 6.0 * a2
             return y - jnp.linalg.solve(dg, g)
 
-        return jax.lax.fori_loop(0, _IMPLICIT_ITERS, newton, x)
+        y = jax.lax.fori_loop(0, _IMPLICIT_ITERS, newton, x)
+        return _poison_unconverged(y, residual(y), x)
 
     return step
 
