@@ -405,3 +405,50 @@ def test_implicit_integrator_nonconvergence_poisons():
         y_ok = integ(g)(jnp.array([1.0]), u0, 0.1)
         assert bool(jnp.all(jnp.isfinite(y_ok)))
         assert abs(float(y_ok[0]) - np.exp(-0.1)) < 1e-3
+
+
+def test_structured_error_state_projection():
+    """Block-structured project_error_state == dense E/E⁺ einsum projection
+    (the structured form exists because batched tiny matmuls pad to MXU
+    tiles on TPU — 2.5× measured; must stay algebraically identical)."""
+    from trajopt_tpu.models import zoo
+    from trajopt_tpu.models.quaternions import (
+        project_error_state, state_diff_jacobian, state_diff_jacobian_inv,
+    )
+    from trajopt_tpu.ops.cost import Expansion, cost_expansion
+    from trajopt_tpu.ops.rollout import rollout
+
+    qs = (3, 7)
+    model_d = discretize(zoo.quadrotor, "rk3")
+    N, n, m = 9, 13, 4
+    rng = np.random.default_rng(7)
+    x0 = np.zeros(n)
+    x0[3:7] = rng.normal(size=4)
+    x0[3:7] /= np.linalg.norm(x0[3:7])
+    x0[7:] = rng.normal(size=6) * 0.3
+    U = jnp.asarray(rng.normal(size=(N - 1, m)) + 2.0)
+    X = rollout(model_d, jnp.asarray(x0), U, jnp.full((N - 1,), 0.05))
+    A, B = model_d.jacobian_traj(X[:-1], U, jnp.full((N - 1,), 0.05))
+    xf = np.zeros(n); xf[3] = 1.0
+    obj = LQRObjective(np.eye(n) * 1e-2, np.eye(m) * 1e-2,
+                       np.eye(n) * 10.0, xf, N)
+    exp = cost_expansion(obj, X, U, jnp.full((N - 1,), 0.05))
+
+    E = jax.vmap(lambda x: state_diff_jacobian(x, qs))(X)
+    Ei = jax.vmap(lambda x: state_diff_jacobian_inv(x, qs))(X)
+    A_ref = jnp.einsum("kji,kil,klp->kjp", Ei[1:], A, E[:-1])
+    B_ref = jnp.einsum("kji,kil->kjl", Ei[1:], B)
+    exp_ref = Expansion(
+        x=jnp.einsum("kij,ki->kj", E, exp.x),
+        xx=jnp.einsum("kij,kil,klp->kjp", E, exp.xx, E),
+        u=exp.u, uu=exp.uu,
+        ux=jnp.einsum("kpi,kij->kpj", exp.ux, E[:-1]))
+
+    A_e, B_e, exp_e = project_error_state(X, A, B, exp, qs)
+    assert np.allclose(np.asarray(A_e), np.asarray(A_ref), atol=1e-12)
+    assert np.allclose(np.asarray(B_e), np.asarray(B_ref), atol=1e-12)
+    assert np.allclose(np.asarray(exp_e.x), np.asarray(exp_ref.x), atol=1e-12)
+    assert np.allclose(np.asarray(exp_e.xx), np.asarray(exp_ref.xx),
+                       atol=1e-12)
+    assert np.allclose(np.asarray(exp_e.ux), np.asarray(exp_ref.ux),
+                       atol=1e-12)

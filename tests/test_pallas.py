@@ -103,3 +103,92 @@ def test_cartpole_lanes_matches_model():
     ref = jax.vmap(lambda x, u: model_d.step(x, u, 0.05))(X, U)
     lanes = cartpole_step_lanes(X.T, U.T, 0.05).T
     assert np.allclose(np.asarray(ref), np.asarray(lanes), atol=1e-12)
+
+
+def _bp_batch_inputs(B=128, N=21, seed=3, dtype=np.float32):
+    """Batched quadrotor BP inputs (rollout-linearized, batch-first)."""
+    from trajopt_tpu.ops.cost import cost_expansion
+    from trajopt_tpu.ops.rollout import rollout
+    from trajopt_tpu.problems.zoo import quadrotor_line
+
+    prob = quadrotor_line(N=N, dtype=jnp.float64, distance=20.0)
+    dt_traj = prob.dt_traj()
+    rng = np.random.default_rng(seed)
+
+    def one(x0):
+        X = rollout(prob.model, x0, prob.U, dt_traj)
+        A, Bj = prob.model.jacobian_traj(X[:-1], prob.U, dt_traj)
+        exp = cost_expansion(prob.obj, X, prob.U, dt_traj)
+        return A, Bj, exp
+
+    x0s = jnp.asarray(np.tile(np.asarray(prob.x0)[None], (B, 1))
+                      + rng.normal(size=(B, 13)) * 0.02)
+    A, Bj, exp = jax.vmap(one)(x0s)
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype), t)
+    return cast(A), cast(Bj), cast(exp)
+
+
+def test_pallas_sqrt_sweep_matches_scan_sqrt():
+    """Fused lane-batched QR sqrt kernel == vmapped sqrt_sweep (interpret
+    mode; compiled-vs-interpret equality is checked on TPU by the bench
+    runs). The f64 pass is the TIGHT algebraic oracle (1e-10, incl. ρ > 0
+    and fail flags); the f32 pass uses conditioning-realistic tolerances —
+    the feedforward d reproduces only to O(1e-1) across reorderings at the
+    stiff knots (κ(Quu) ~ 1e9; see parallel/riccati.py docstring)."""
+    from trajopt_tpu.ops.pallas_sqrt import sqrt_sweep_pallas
+    from trajopt_tpu.solvers.ilqr import sqrt_sweep
+
+    for dtype, ktol, dtol, vtol in ((np.float64, 1e-8, 1e-8, 1e-10),
+                                    (np.float32, 2e-3, 1e-1, 3e-2)):
+        A, B, exp = _bp_batch_inputs(dtype=dtype)
+        Bz = A.shape[0]
+        for rho_val in (0.0, 1e-2):
+            rho = jnp.full((Bz,), rho_val, dtype)
+            ref = jax.vmap(lambda a, b, e, r: sqrt_sweep(a, b, e, r))(
+                A, B, exp, rho)
+            out = sqrt_sweep_pallas(A, B, exp.x, exp.u, exp.xx, exp.uu,
+                                    exp.ux, rho, interpret=True)
+            K0, d0, v10, v20, fail0 = ref
+            K1, d1, v11, v21, fail1 = out
+            assert not bool(jnp.any(fail0))
+            assert np.array_equal(np.asarray(fail0), np.asarray(fail1))
+            sK = float(jnp.max(jnp.abs(K0)))
+            sd = float(jnp.max(jnp.abs(d0))) + 1e-12
+            assert float(jnp.max(jnp.abs(K1 - K0))) < ktol * sK, \
+                (dtype, rho_val)
+            assert float(jnp.max(jnp.abs(d1 - d0))) < dtol * sd, \
+                (dtype, rho_val)
+            assert np.allclose(np.asarray(v11), np.asarray(v10), rtol=vtol,
+                               atol=1e-5)
+            assert np.allclose(np.asarray(v21), np.asarray(v20), rtol=vtol,
+                               atol=1e-5)
+
+
+def test_pallas_riccati_sweep_matches_scan():
+    """Fused lane-batched standard Riccati kernel == vmapped scan sweep
+    (interpret mode) — the f64 algebraic oracle. No f32 comparison at this
+    coarse-dt shape: the fused Quu reaches κ ~ 1e9, so the two orderings of
+    the SAME non-sqrt algorithm legitimately produce O(100×)-different f32
+    gains here (the solver's line search + ρ-retry absorbs this; the sqrt
+    kernel test above covers f32, and the TPU bench covers the compiled
+    f32 path end-to-end at the well-conditioned benchmark shape)."""
+    from trajopt_tpu.ops.pallas_riccati import riccati_sweep_pallas
+    from trajopt_tpu.solvers.ilqr import _backward_pass_impl, iLQROptions
+
+    A, B, exp = _bp_batch_inputs(dtype=np.float64)
+    Bz = A.shape[0]
+    rho = jnp.zeros((Bz,), jnp.float64)
+    drho = jnp.ones((Bz,), jnp.float64)
+    opts = iLQROptions()
+    ref = jax.vmap(lambda a, b, e, r, dr: _backward_pass_impl(
+        a, b, e, r, dr, opts))(A, B, exp, rho, drho)
+    out = riccati_sweep_pallas(A, B, exp.x, exp.u, exp.xx, exp.uu, exp.ux,
+                               rho, interpret=True)
+    K0, d0 = ref[0], ref[1]
+    K1, d1 = out[0], out[1]
+    assert not bool(jnp.any(out[4]))
+    sK = float(jnp.max(jnp.abs(K0)))
+    sd = float(jnp.max(jnp.abs(d0))) + 1e-12
+    assert float(jnp.max(jnp.abs(K1 - K0))) < 1e-5 * sK
+    assert float(jnp.max(jnp.abs(d1 - d0))) < 1e-5 * sd

@@ -132,3 +132,69 @@ def state_diff_jacobian_inv(x, quat_slice):
     Ei = Ei.at[a:a + 3, a:b].set(2.0 * Lmult(x[a:b]).T[1:, :])
     Ei = Ei.at[a + 3:, b:].set(jnp.eye(n - b, dtype=x.dtype))
     return Ei
+
+
+def _att_jac_batch(Q):
+    """G(q) (…, 4, 3) for a batch of quaternions (…, 4) — closed form of
+    ``quat_error_jacobian`` (0.5·Lmult(q) columns 1:3), built by stacking
+    so no (4,4)-matmul is emitted."""
+    w, x, y, z = Q[..., 0], Q[..., 1], Q[..., 2], Q[..., 3]
+    return 0.5 * jnp.stack([
+        jnp.stack([-x, -y, -z], -1),
+        jnp.stack([w, -z, y], -1),
+        jnp.stack([z, w, -x], -1),
+        jnp.stack([-y, x, w], -1)], -2)
+
+
+def _att_jac_pinv_batch(Q):
+    """G⁺(q) (…, 3, 4): 2·Lmult(q)ᵀ rows 1:3 (see state_diff_jacobian_inv)."""
+    w, x, y, z = Q[..., 0], Q[..., 1], Q[..., 2], Q[..., 3]
+    return 2.0 * jnp.stack([
+        jnp.stack([-x, w, z, -y], -1),
+        jnp.stack([-y, -z, w, x], -1),
+        jnp.stack([-z, y, -x, w], -1)], -2)
+
+
+def project_error_state(X, A, B, exp, quat_slice):
+    """Project trajectory Jacobians + cost expansion into the error-state
+    tangent space, exploiting E's block structure.
+
+    E(x) = blockdiag(I, G(q), I) and E⁺ = blockdiag(I, G⁺(q), I), so only
+    the 4-wide quaternion row/column blocks transform — everything is
+    broadcast-multiply-reduce over that block, never a batched (n×n)
+    matmul. On TPU the dense einsum form lowers to tiny batched matmuls
+    that pad to MXU tiles (measured 84 ms/iteration at the flagship batch
+    vs 34 ms for this form — and this form computes in true f32 on the VPU
+    rather than default-precision bf16).
+
+    X: (…, N, n); A, B: (…, N-1, n, ·); exp: stacked Expansion.
+    Returns (A_e, B_e, exp_e) with state dim n-1.
+    """
+    from trajopt_tpu.ops.cost import Expansion
+
+    a, b = quat_slice
+    G = _att_jac_batch(X[..., a:b])          # (…, N, 4, 3)
+    Gi = _att_jac_pinv_batch(X[..., a:b])    # (…, N, 3, 4)
+
+    def cols(M, Gk):
+        """M @ E: transform the last axis (columns)."""
+        mid = jnp.sum(M[..., a:b][..., None] * Gk[..., None, :, :], axis=-2)
+        return jnp.concatenate([M[..., :a], mid, M[..., b:]], axis=-1)
+
+    def rows_pinv(M, Gik):
+        """E⁺ @ M: transform the second-to-last axis (rows) by G⁺."""
+        mid = jnp.sum(Gik[..., None] * M[..., None, a:b, :], axis=-2)
+        return jnp.concatenate([M[..., :a, :], mid, M[..., b:, :]], axis=-2)
+
+    def rows_T(M, Gk):
+        """Eᵀ @ M: transform rows by Gᵀ (Gauss-Newton expansion)."""
+        mid = jnp.sum(Gk[..., :, :, None] * M[..., a:b, None, :], axis=-3)
+        return jnp.concatenate([M[..., :a, :], mid, M[..., b:, :]], axis=-2)
+
+    A_e = rows_pinv(cols(A, G[..., :-1, :, :]), Gi[..., 1:, :, :])
+    B_e = rows_pinv(B, Gi[..., 1:, :, :])
+    lx_mid = jnp.sum(G * exp.x[..., a:b, None], axis=-2)
+    lx_e = jnp.concatenate([exp.x[..., :a], lx_mid, exp.x[..., b:]], axis=-1)
+    xx_e = rows_T(cols(exp.xx, G), G)
+    ux_e = cols(exp.ux, G[..., :-1, :, :])
+    return A_e, B_e, Expansion(x=lx_e, xx=xx_e, u=exp.u, uu=exp.uu, ux=ux_e)

@@ -250,15 +250,23 @@ def backward_pass(A, B, exp: Expansion, rho, drho, opts: iLQROptions):
 
 
 def _bp_batched_pallas(A, B, exp: Expansion, rho, drho, opts: iLQROptions):
-    """Batched backward pass on the fused Pallas Riccati kernel with the
+    """Batched backward pass on a fused Pallas Riccati kernel (standard
+    scan semantics or the QR square-root sweep, by bp_type) with the
     reference's per-problem ρ-retry semantics (masked re-sweeps)."""
-    from trajopt_tpu.ops.pallas_riccati import riccati_sweep_pallas
+    if opts.square_root or opts.bp_type == "sqrt":
+        from trajopt_tpu.ops.pallas_sqrt import sqrt_sweep_pallas
 
-    reg_state = opts.bp_reg_type == "state"
+        def sweep(rho_v):
+            return sqrt_sweep_pallas(A, B, exp.x, exp.u, exp.xx, exp.uu,
+                                     exp.ux, rho_v)
+    else:
+        from trajopt_tpu.ops.pallas_riccati import riccati_sweep_pallas
 
-    def sweep(rho_v):
-        return riccati_sweep_pallas(A, B, exp.x, exp.u, exp.xx, exp.uu,
-                                    exp.ux, rho_v, reg_state=reg_state)
+        reg_state = opts.bp_reg_type == "state"
+
+        def sweep(rho_v):
+            return riccati_sweep_pallas(A, B, exp.x, exp.u, exp.xx, exp.uu,
+                                        exp.ux, rho_v, reg_state=reg_state)
 
     K0, d0, v1, v2, fail0 = sweep(rho)
 
@@ -311,7 +319,7 @@ def _bp_dispatch(opts: iLQROptions):
         # path instead of OOMing the kernel
         use_pallas = (
             jax.default_backend() == "tpu"
-            and not (opts.square_root or opts.bp_type in ("sqrt", "parallel"))
+            and opts.bp_type != "parallel"
             and axis_size % 128 == 0
             and bA.dtype == jnp.float32
             and _bp_tile_bytes(bA.shape[1], bA.shape[-1], bB.shape[-1])
@@ -612,28 +620,16 @@ def ilqr_solve(
     d0 = jnp.zeros((Nm1, m), dtype)
 
     if qs is not None:
-        from trajopt_tpu.models.quaternions import (
-            state_diff_jacobian, state_diff_jacobian_inv,
-        )
+        from trajopt_tpu.models.quaternions import project_error_state
 
         def project_err(X, A, B, exp):
             """Project dynamics Jacobians + expansion into the tangent space:
             A_err = E⁺(x') A E(x), B_err = E⁺(x') B (E⁺ = the error-map
             Jacobian, NOT Eᵀ — the attitude block of E is not orthonormal),
             lx_err = E(x)ᵀ lx, lxx_err = E(x)ᵀ lxx E(x) (Gauss-Newton:
-            E's curvature dropped)."""
-            E = jax.vmap(lambda x: state_diff_jacobian(x, qs))(X)   # (N,n,ns)
-            Ei = jax.vmap(lambda x: state_diff_jacobian_inv(x, qs))(X)
-            A_e = jnp.einsum("kji,kil,klp->kjp", Ei[1:], A, E[:-1])
-            B_e = jnp.einsum("kji,kil->kjl", Ei[1:], B)
-            exp_e = Expansion(
-                x=jnp.einsum("kij,ki->kj", E, exp.x),
-                xx=jnp.einsum("kij,kil,klp->kjp", E, exp.xx, E),
-                u=exp.u,
-                uu=exp.uu,
-                ux=jnp.einsum("kpi,kij->kpj", exp.ux, E[:-1]),
-            )
-            return A_e, B_e, exp_e
+            E's curvature dropped). Structured block form — see
+            models/quaternions.py:project_error_state."""
+            return project_error_state(X, A, B, exp, qs)
 
     def cond_fn(st):
         (X, U, K, d, J_prev, dJ, grad, rho_c, drho_c, dJ_zero, it, converged,
