@@ -196,3 +196,26 @@ def test_parallel_riccati_f32_flagship():
         if dtol is not None:
             assert rel(d, d0) < dtol, f"N={N}: d rel err {rel(d, d0):.3e}"
         assert abs(float(v1) - float(v10)) < 1e-2 * abs(float(v10))
+
+
+def test_queued_batch_matches_vmap_solve():
+    """Streaming/queued batch driver (lane hand-off) reproduces the plain
+    vmapped AL solve per problem — iteration counts identical, trajectories
+    to solver precision — while stragglers only occupy one lane."""
+    from trajopt_tpu.parallel.batch import solve_batch_queued
+
+    from trajopt_tpu.problems import zoo as probs
+    prob = probs.pendulum()
+    B = 24
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.normal(size=(B, 2)) * 0.2)
+    opts = tt.ALOptions()
+    ref = solve_batch(prob, opts, x0s)
+    out = jax.jit(lambda xs: solve_batch_queued(prob, opts, xs,
+                                                lanes=8))(x0s)
+    assert bool(jnp.all(out.c_max < 1e-3))
+    assert np.array_equal(np.asarray(out.iterations_total),
+                          np.asarray(ref.iterations_total))
+    assert np.allclose(np.asarray(out.X), np.asarray(ref.X), atol=1e-6)
+    # pool (24) > lanes (8): slots must have been recycled
+    assert int(out.rounds) < 24 * int(jnp.max(ref.iterations))

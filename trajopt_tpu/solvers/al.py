@@ -39,6 +39,17 @@ class ALOptions:
     penalty_max: float = 1e8
     penalty_initial: float = 1.0
     penalty_scaling: float = 10.0
+    # gated outer-loop update (reference knobs penalty_scaling_no /
+    # constraint_decrease_ratio, augmented_lagrangian_solver.jl:52-58):
+    # with outer_loop_update_type="feedback", an outer iteration with
+    # sufficient constraint decrease (c_max ≤ ratio·c_max_prev) updates the
+    # DUALS and scales penalties only by penalty_scaling_no; an
+    # insufficient one keeps the duals and scales by penalty_scaling —
+    # the classic Bertsekas switch, per problem under vmap. "default"
+    # reproduces the reference default (dual update + unconditional scale).
+    penalty_scaling_no: float = 1.0
+    constraint_decrease_ratio: float = 0.25
+    outer_loop_update_type: str = "default"
     active_constraint_tolerance: float = 0.0
     kickout_max_penalty: bool = False
     # live per-outer-iteration row via jax.debug.print (reference OuterLoop
@@ -135,6 +146,88 @@ def max_violation(cs: ConstraintSet, C):
     return cs.max_violation(C)
 
 
+class ALLaneState(NamedTuple):
+    """Resumable per-problem AL state for the streaming batch driver
+    (parallel/batch.py solve_batch_queued): one outer iteration at a time,
+    so a converged lane can hand its slot to a fresh problem."""
+
+    x0: jnp.ndarray
+    X: jnp.ndarray
+    U: jnp.ndarray
+    lam: jnp.ndarray
+    mu: jnp.ndarray
+    c_max: jnp.ndarray
+    J: jnp.ndarray
+    it: jnp.ndarray            # outer iterations done
+    it_total: jnp.ndarray      # inner iLQR iterations total
+    gradient: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def al_lane_stepper(prob: Problem, opts: ALOptions, constraint_tolerance=None,
+                    mu_init=None, penalty_scaling=None):
+    """(init, step) pair for one AL OUTER iteration per call — the same
+    semantics as one trip of ``al_solve``'s while_loop (tolerance
+    stitching, dual/penalty updates, kickout), factored out so the
+    streaming batch driver can interleave problems on lanes. Equivalence
+    with ``al_solve`` is pinned by tests/test_parallel.py."""
+    cs = prob.constraints
+    dtype = prob.U.dtype
+    dt_traj = prob.dt_traj()
+    ctol = jnp.asarray(
+        opts.constraint_tolerance if constraint_tolerance is None
+        else constraint_tolerance, dtype)
+    N, P = cs.N, cs.P
+    scaling = jnp.broadcast_to(
+        jnp.asarray(opts.penalty_scaling if penalty_scaling is None
+                    else penalty_scaling, dtype), (P,))
+    mu0_row = jnp.broadcast_to(
+        jnp.asarray(opts.penalty_initial if mu_init is None else mu_init,
+                    dtype), (N, P)) * cs.mask
+    atol = opts.active_constraint_tolerance
+    big = jnp.asarray(jnp.inf, dtype)
+
+    def init(x0, U0):
+        X0 = prob.X.at[0].set(x0)
+        return ALLaneState(
+            x0=x0, X=X0, U=U0, lam=jnp.zeros((N, P), dtype), mu=mu0_row,
+            c_max=big, J=big, it=jnp.zeros((), jnp.int32),
+            it_total=jnp.zeros((), jnp.int32), gradient=big,
+            converged=jnp.asarray(False))
+
+    def step(st: ALLaneState) -> ALLaneState:
+        last = st.it == opts.iterations - 1
+        cost_tol = jnp.where(last, opts.cost_tolerance,
+                             opts.cost_tolerance_intermediate)
+        grad_tol = jnp.where(last, opts.gradient_norm_tolerance,
+                             opts.gradient_norm_tolerance_intermediate)
+        cost_fn, expansion_fn = al_cost_fns(prob.obj, cs, dt_traj, st.lam,
+                                            st.mu, atol)
+        res = ilqr_solve(prob.model, cost_fn, expansion_fn, st.x0, st.X,
+                         st.U, dt_traj, opts.opts_uncon,
+                         cost_tol=cost_tol, grad_tol=grad_tol)
+        C = cs.evaluate(res.X, res.U)
+        c_max_new = cs.max_violation(C)
+        if opts.outer_loop_update_type == "feedback":
+            good = c_max_new <= opts.constraint_decrease_ratio * st.c_max
+            lam_up = dual_update(cs, C, st.lam, st.mu, opts)
+            lam = jnp.where(good, lam_up, st.lam)
+            sc = jnp.where(good, opts.penalty_scaling_no, scaling)
+            mu = penalty_update(cs, st.mu, sc[None, :], opts)
+        else:
+            lam = dual_update(cs, C, st.lam, st.mu, opts)
+            mu = penalty_update(cs, st.mu, scaling[None, :], opts)
+        converged = c_max_new < ctol
+        if opts.kickout_max_penalty:
+            converged = converged | (jnp.max(mu) >= opts.penalty_max)
+        return ALLaneState(
+            x0=st.x0, X=res.X, U=res.U, lam=lam, mu=mu, c_max=c_max_new,
+            J=res.J, it=st.it + 1, it_total=st.it_total + res.iterations,
+            gradient=res.gradient, converged=converged)
+
+    return init, step
+
+
 @precise
 def al_solve(
     prob: Problem,
@@ -213,10 +306,21 @@ def al_solve(
 
         res = inner_solve(X, U, lam, mu, cost_tol, grad_tol)
         C = cs.evaluate(res.X, res.U)
-        lam = dual_update(cs, C, lam, mu, opts)
-        mu = penalty_update(cs, mu, scaling[None, :], opts)
+        c_max_prev = c_max
+        c_max_new = cs.max_violation(C)
+        if opts.outer_loop_update_type == "feedback":
+            # Bertsekas switch (see ALOptions): good progress → dual step,
+            # mild penalty growth; stall → hold duals, grow penalties
+            good = c_max_new <= opts.constraint_decrease_ratio * c_max_prev
+            lam_up = dual_update(cs, C, lam, mu, opts)
+            lam = jnp.where(good, lam_up, lam)
+            sc = jnp.where(good, opts.penalty_scaling_no, scaling)
+            mu = penalty_update(cs, mu, sc[None, :], opts)
+        else:
+            lam = dual_update(cs, C, lam, mu, opts)
+            mu = penalty_update(cs, mu, scaling[None, :], opts)
 
-        c_max = cs.max_violation(C)
+        c_max = c_max_new
         converged = c_max < ctol
         if opts.kickout_max_penalty:
             converged = converged | (jnp.max(mu) >= opts.penalty_max)
