@@ -59,7 +59,8 @@ def run_case(name, solver_name, batch=0):
                     prob, X=jnp.full_like(prob.X, jnp.nan).at[0].set(prob.x0))
             return tt.al_solve(p, tt.ALOptions())
         if solver_name == "altro":
-            return alt.altro_solve(prob, alt.ALTROOptions())
+            from trajopt_tpu.problems.tuned import tuned_altro_options
+            return alt.altro_solve(prob, tuned_altro_options(name))
         if solver_name == "dircol":
             return dircol_solve(prob, DIRCOLOptions(
                 feasibility_tolerance=1e-6))
@@ -86,6 +87,45 @@ def run_case(name, solver_name, batch=0):
         "device": jax.default_backend(),
     }
     print(json.dumps(out))
+
+    if batch and solver_name == "altro":
+        # batched ALTRO throughput (infeasible-start problems like
+        # car_escape / kuka_obstacles need the slack transform; plain AL
+        # cannot converge them — the documented seed trap)
+        x0s = jnp.broadcast_to(prob.x0, (batch,) + prob.x0.shape)
+
+        from trajopt_tpu.problems.tuned import tuned_altro_options
+        import dataclasses
+        # batched throughput measures the AL stage (PN polish off): the
+        # vmapped block-tridiagonal PN factorization at B=128 over the
+        # larger constraint stacks crashes the remote TPU compile helper,
+        # and the AL stage is the throughput-relevant phase (the maze
+        # bench measures the same stage)
+        topts = dataclasses.replace(tuned_altro_options(name),
+                                    projected_newton=False)
+
+        def one_altro(x0):
+            p = tt.update_problem(prob, x0=x0,
+                                  X=jnp.asarray(prob.X).at[0].set(x0))
+            # transform decision must be static under vmap
+            return alt.altro_solve(p, topts, infeasible=infeasible,
+                                   minimum_time=False)
+
+        fn = jax.jit(jax.vmap(one_altro))
+        r = fn(x0s)
+        jax.block_until_ready(r.X)
+        t0 = time.perf_counter()
+        r = fn(x0s)
+        jax.block_until_ready(r.X)
+        dt_b = time.perf_counter() - t0
+        print(json.dumps({
+            "problem": name, "solver": "altro_batched", "batch": batch,
+            "solves_per_s": round(batch / dt_b, 2),
+            "converged_frac": float(np.mean(
+                np.asarray(r.c_max) < 1e-2)),
+            "med_c_max": float(np.median(np.asarray(r.c_max))),
+            "device": jax.default_backend(),
+        }))
 
     if batch and solver_name == "al":
         # plain AL with a finite infeasible X seed returns the seed

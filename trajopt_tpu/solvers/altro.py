@@ -99,11 +99,15 @@ def _lift_entries(cs: ConstraintSet, n: int, m: int):
     """Lift every constraint of a stacked set onto augmented dims, keeping
     the original knot masks."""
     entries = []
+    # device_get the WHOLE mask before slicing: cs.mask is a concrete
+    # closure constant even under jit/vmap, but jnp-indexing it inside a
+    # trace would produce a tracer and break the static rebuild (the
+    # batched-ALTRO path hits exactly this)
+    mask_np = np.asarray(jax.device_get(cs.mask))
     for con, (r0, r1) in zip(cs.cons, cs.slices):
-        kmask = np.asarray(jax.device_get(cs.mask[:, r0]))  # per-knot validity
         # reconstruct per-knot mask from any row of the block (rows share knots
         # except bound u-rows at terminal, which term_rows re-handles)
-        kmask = np.asarray(jax.device_get(cs.mask[:, r0:r1])).any(axis=1)
+        kmask = mask_np[:, r0:r1].any(axis=1)
         entries.append((lift_constraint(con, n, m), kmask))
     return entries
 
