@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 if os.environ.get("JAX_PLATFORMS") == "cpu":
     import jax
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import sys
 import time
@@ -30,46 +31,19 @@ from trajopt_tpu.solvers.projected_newton import PNOptions
 
 MAX_VIOL = 1e-8
 
-# per-problem ALTRO options from the IROS scripts
-OPTS = {
-    "pendulum": dict(al=dict(), altro=dict(projected_newton=True,
-                                           projected_newton_tolerance=1e-3)),
-    "cartpole": dict(al=dict(cost_tolerance=1e-6,
-                             cost_tolerance_intermediate=1e-4),
-                     altro=dict(projected_newton=True,
-                                projected_newton_tolerance=1e-3)),
-    "parallel_park": dict(al=dict(), altro=dict(projected_newton=True,
-                                                projected_newton_tolerance=1e-3)),
-    "car_escape": dict(
-        al=dict(cost_tolerance=1e-6, cost_tolerance_intermediate=1e-2,
-                penalty_scaling=50.0, penalty_initial=10.0),
-        altro=dict(R_inf=1e-1, resolve_feasible_problem=False,
-                   projected_newton=True, projected_newton_tolerance=1e-3)),
-    "quadrotor": dict(al=dict(), altro=dict(projected_newton=True,
-                                            projected_newton_tolerance=1e-3)),
-    "quadrotor_maze": dict(
-        al=dict(iterations=40, cost_tolerance=1e-5,
-                cost_tolerance_intermediate=1e-4),
-        altro=dict(R_inf=1e-8, resolve_feasible_problem=False,
-                   projected_newton=True, projected_newton_tolerance=1e-4)),
-    "kuka_obstacles": dict(
-        al=dict(iterations=20, cost_tolerance=1e-6,
-                cost_tolerance_intermediate=1e-5, penalty_scaling=50.0,
-                penalty_initial=0.01),
-        altro=dict()),
-}
-
 
 def run(name):
+    import dataclasses
+
     import jax
+    from trajopt_tpu.problems.tuned import tuned_altro_options
 
     prob = probs.PROBLEMS[name]()
-    o = OPTS.get(name, dict(al=dict(), altro=dict()))
-    opts_al = tt.ALOptions(constraint_tolerance=MAX_VIOL, **o["al"])
-    opts = alt.ALTROOptions(
-        opts_al=opts_al,
-        opts_pn=PNOptions(feasibility_tolerance=MAX_VIOL),
-        **o["altro"])
+    # the paper's per-problem option blocks (problems/tuned.py, extracted
+    # from reference examples/IROS_2019/<name>.jl)
+    opts = dataclasses.replace(
+        tuned_altro_options(name),
+        opts_pn=PNOptions(feasibility_tolerance=MAX_VIOL))
 
     t0 = time.perf_counter()
     res = alt.altro_solve(prob, opts)
