@@ -98,7 +98,29 @@ def obstacle_field_constraint(circles: Sequence[tuple], label="obstacles",
         rs = jnp.asarray(r, dtype=x.dtype)
         return rs**2 - (x[0] - xcs) ** 2 - (x[1] - ycs) ** 2
 
-    return Constraint(fn, len(circles), label, equality=False, applies="stage")
+    con = Constraint(fn, len(circles), label, equality=False, applies="stage")
+
+    def al_terms(X, U_pad, g, imu):
+        # ∂c_p/∂x is nonzero only in the (x, y) position coords:
+        # [-2(x-xc_p), -2(y-yc_p)], so the Gauss-Newton AL terms collapse to
+        # a 2-vector and a 2x2 block — no (N, p, n) Jacobian materialization
+        N_, n_ = X.shape
+        dtype = X.dtype
+        vx = X[:, 0:1] - jnp.asarray(xc, dtype)[None]   # (N, p)
+        vy = X[:, 1:2] - jnp.asarray(yc, dtype)[None]
+        lx = jnp.zeros((N_, n_), dtype)
+        lx = lx.at[:, 0].set(-2.0 * jnp.sum(g * vx, axis=-1))
+        lx = lx.at[:, 1].set(-2.0 * jnp.sum(g * vy, axis=-1))
+        h00 = 4.0 * jnp.sum(imu * vx * vx, axis=-1)
+        h01 = 4.0 * jnp.sum(imu * vx * vy, axis=-1)
+        h11 = 4.0 * jnp.sum(imu * vy * vy, axis=-1)
+        lxx = jnp.zeros((N_, n_, n_), dtype)
+        lxx = lxx.at[:, 0, 0].set(h00).at[:, 0, 1].set(h01)
+        lxx = lxx.at[:, 1, 0].set(h01).at[:, 1, 1].set(h11)
+        return {"x": lx, "xx": lxx}
+
+    con.al_terms = al_terms
+    return con
 
 
 def goal_constraint(xf, label="goal"):
@@ -114,7 +136,15 @@ def goal_constraint(xf, label="goal"):
         cu = jnp.zeros((n, u.shape[0]), dtype=x.dtype)
         return cx, cu
 
-    return Constraint(fn, n, label, equality=True, applies="terminal", jac_fn=jac)
+    con = Constraint(fn, n, label, equality=True, applies="terminal", jac_fn=jac)
+
+    def al_terms(X, U_pad, g, imu):
+        # cx = I: the AL gradient IS g and the GN Hessian is diag(Iμ)
+        eye = jnp.eye(n, dtype=X.dtype)
+        return {"x": g, "xx": imu[:, :, None] * eye}
+
+    con.al_terms = al_terms
+    return con
 
 
 def infeasible_constraint(n, m, label="infeasible"):
@@ -132,7 +162,21 @@ def infeasible_constraint(n, m, label="infeasible"):
         )
         return cx, cu
 
-    return Constraint(fn, n, label, equality=True, applies="stage", jac_fn=jac)
+    con = Constraint(fn, n, label, equality=True, applies="stage", jac_fn=jac)
+
+    def al_terms(X, U_pad, g, imu):
+        # cu = [0 I] on the slack block: gradient pads g into the slack
+        # columns; GN Hessian is diag(Iμ) on the slack-slack block
+        N_, M_ = U_pad.shape
+        dtype = X.dtype
+        lu = jnp.zeros((N_, M_), dtype).at[:, m:].set(g)
+        eye = jnp.eye(n, dtype=dtype)
+        luu = jnp.zeros((N_, M_, M_), dtype).at[:, m:, m:].set(
+            imu[:, :, None] * eye)
+        return {"u": lu, "uu": luu}
+
+    con.al_terms = al_terms
+    return con
 
 
 def bound_constraint(n, m, x_min=None, x_max=None, u_min=None, u_max=None,
@@ -189,6 +233,30 @@ def bound_constraint(n, m, x_min=None, x_max=None, u_min=None, u_max=None,
         return Jx, Ju
 
     con = Constraint(fn, p, label, equality=False, applies="all", jac_fn=jac)
+
+    Jx_np, Ju_np = J[:, :n], J[:, n:]
+    has_x = len(ixmax) + len(ixmin) > 0
+    has_u = len(iumax) + len(iumin) > 0
+
+    def al_terms(X, U_pad, g, imu):
+        # rows are ±e_i selections, so gᵀJ is one tiny (N,p)@(p,·) matmul and
+        # the GN Hessian JᵀIμJ is exactly diagonal (no x/u cross rows ⇒ the
+        # lux contribution is identically zero)
+        dtype = X.dtype
+        out = {}
+        if has_x:
+            Jx = jnp.asarray(Jx_np, dtype)
+            out["x"] = g @ Jx
+            dx = imu @ (Jx * Jx)
+            out["xx"] = dx[:, :, None] * jnp.eye(n, dtype=dtype)
+        if has_u:
+            Ju = jnp.asarray(Ju_np, dtype)
+            out["u"] = g @ Ju
+            du = imu @ (Ju * Ju)
+            out["uu"] = du[:, :, None] * jnp.eye(Ju.shape[1], dtype=dtype)
+        return out
+
+    con.al_terms = al_terms
     # stage/terminal row masks: u rows inactive at the terminal knot
     con.term_rows = np.concatenate([
         np.ones(len(ixmax), bool), np.zeros(len(iumax), bool),
@@ -332,6 +400,64 @@ class ConstraintSet:
         cu = jnp.concatenate(cu_cols, axis=1)
         mask3 = self.mask[:, :, None]
         return (jnp.where(mask3, cx, 0.0), jnp.where(mask3, cu, 0.0))
+
+    def al_expansion_terms(self, X, U, g, Imu):
+        """Augmented-Lagrangian expansion contributions
+
+            lx += cxᵀ g,  lxx += cxᵀ Iμ cx   (and u/ux analogs)
+
+        with g = Iμ∘c + λ (reference cost_expansion!,
+        augmented_lagrangian_methods.jl:186-229). Structure-aware: constraints
+        carrying an ``al_terms`` hook (circle fields, bounds, goal,
+        infeasible-slack, min-time rows) contribute through their sparse
+        Jacobian structure — 2x2 blocks, diagonals, selections — instead of
+        the dense (N, P, n) Jacobian + Gauss-Newton einsum path, which at
+        maze shapes (B=128, P≈80) was ~12% of the iLQR iteration
+        (benchmark/maze_phase_timing.py). Hook-less constraints fall back to
+        the generic einsums; both paths are numerically identical
+        (tests/test_al_structured.py).
+
+        ``g`` and ``Imu`` must already be masked (zero on invalid rows) —
+        the AL caller guarantees this, so invalid knots contribute nothing.
+
+        Returns full-N (lx, lu, lxx, luu, lux); the caller drops the
+        terminal u rows.
+        """
+        N = self.N
+        n = X.shape[-1]
+        m = U.shape[-1]
+        dtype = X.dtype
+        lx = jnp.zeros((N, n), dtype)
+        lu = jnp.zeros((N, m), dtype)
+        lxx = jnp.zeros((N, n, n), dtype)
+        luu = jnp.zeros((N, m, m), dtype)
+        lux = jnp.zeros((N, m, n), dtype)
+        if self.P == 0:
+            return lx, lu, lxx, luu, lux
+        U_pad = jnp.concatenate([U, jnp.zeros_like(U[:1])], axis=0)
+        for con, (r0, r1) in zip(self.cons, self.slices):
+            gk = g[:, r0:r1]
+            ik = Imu[:, r0:r1]
+            hook = getattr(con, "al_terms", None)
+            if hook is not None:
+                t = hook(X, U_pad, gk, ik)
+                lx = lx + t["x"] if "x" in t else lx
+                lu = lu + t["u"] if "u" in t else lu
+                lxx = lxx + t["xx"] if "xx" in t else lxx
+                luu = luu + t["uu"] if "uu" in t else luu
+                lux = lux + t["ux"] if "ux" in t else lux
+            else:
+                if con.jac_fn is not None:
+                    cx, cu = jax.vmap(con.jac_fn)(X, U_pad)
+                else:
+                    cx = jax.vmap(jax.jacfwd(con.fn, argnums=0))(X, U_pad)
+                    cu = jax.vmap(jax.jacfwd(con.fn, argnums=1))(X, U_pad)
+                lx = lx + jnp.einsum("kpi,kp->ki", cx, gk)
+                lxx = lxx + jnp.einsum("kpi,kp,kpj->kij", cx, ik, cx)
+                lu = lu + jnp.einsum("kpi,kp->ki", cu, gk)
+                luu = luu + jnp.einsum("kpi,kp,kpj->kij", cu, ik, cu)
+                lux = lux + jnp.einsum("kpi,kp,kpj->kij", cu, ik, cx)
+        return lx, lu, lxx, luu, lux
 
     # ------------------------------------------------------------ active set
 

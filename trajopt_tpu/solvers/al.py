@@ -112,18 +112,12 @@ def al_cost_fns(obj, cs: ConstraintSet, dt_traj, lam, mu, tol=0.0):
         C = cs.evaluate(X, U)
         a = cs.active_set(C, lam, tol)
         Imu = jnp.where(a, mu, 0.0)
-        cx, cu = cs.jacobian(X, U)          # (N,P,n), (N,P,m)
-        g = Imu * C + lam                    # (N,P)
-
-        lx = e.x + jnp.einsum("kpi,kp->ki", cx, g)
-        lxx = e.xx + jnp.einsum("kpi,kp,kpj->kij", cx, Imu, cx)
-
-        cu_s, cx_s = cu[:-1], cx[:-1]
-        Imu_s, g_s = Imu[:-1], g[:-1]
-        lu = e.u + jnp.einsum("kpi,kp->ki", cu_s, g_s)
-        luu = e.uu + jnp.einsum("kpi,kp,kpj->kij", cu_s, Imu_s, cu_s)
-        lux = e.ux + jnp.einsum("kpi,kp,kpj->kij", cu_s, Imu_s, cx_s)
-        return Expansion(x=lx, u=lu, xx=lxx, uu=luu, ux=lux)
+        g = Imu * C + lam                    # (N,P), masked
+        # structure-aware contributions (sparse-Jacobian hooks with a dense
+        # generic fallback — see ConstraintSet.al_expansion_terms)
+        tx, tu, txx, tuu, tux = cs.al_expansion_terms(X, U, g, Imu)
+        return Expansion(x=e.x + tx, u=e.u + tu[:-1], xx=e.xx + txx,
+                         uu=e.uu + tuu[:-1], ux=e.ux + tux[:-1])
 
     return cost_fn, expansion_fn
 

@@ -92,6 +92,29 @@ def lift_constraint(con: Constraint, n: int, m: int) -> Constraint:
     tr = getattr(con, "term_rows", None)
     if tr is not None:
         lifted.term_rows = tr
+    hook = getattr(con, "al_terms", None)
+    if hook is not None:
+        # structured AL contributions (ConstraintSet.al_expansion_terms):
+        # compute on the original dims, zero-pad into the augmented ones
+        def al_terms(X, U_pad, g, imu, _hook=hook):
+            t = _hook(X[:, :n], U_pad[:, :m], g, imu)
+            N_ = X.shape[0]
+            nb, mb = X.shape[1], U_pad.shape[1]
+            dtype = X.dtype
+            out = {}
+            if "x" in t:
+                out["x"] = jnp.zeros((N_, nb), dtype).at[:, :n].set(t["x"])
+            if "u" in t:
+                out["u"] = jnp.zeros((N_, mb), dtype).at[:, :m].set(t["u"])
+            if "xx" in t:
+                out["xx"] = jnp.zeros((N_, nb, nb), dtype).at[:, :n, :n].set(t["xx"])
+            if "uu" in t:
+                out["uu"] = jnp.zeros((N_, mb, mb), dtype).at[:, :m, :m].set(t["uu"])
+            if "ux" in t:
+                out["ux"] = jnp.zeros((N_, mb, nb), dtype).at[:, :m, :n].set(t["ux"])
+            return out
+
+        lifted.al_terms = al_terms
     return lifted
 
 
@@ -249,8 +272,25 @@ def mintime_equality(n: int, m: int) -> Constraint:
         cu = jnp.zeros((1, u.shape[0]), x.dtype).at[0, -1].set(1.0)
         return cx, cu
 
-    return Constraint(fn, 1, "min_time_eq", equality=True, applies="stage",
-                      jac_fn=jac)
+    con = Constraint(fn, 1, "min_time_eq", equality=True, applies="stage",
+                     jac_fn=jac)
+
+    def al_terms(X, U_pad, g, imu):
+        # cx = -e_last, cu = +e_last: scalar contributions on the τ entries
+        N_, nb = X.shape
+        mb = U_pad.shape[1]
+        dtype = X.dtype
+        g0, i0 = g[:, 0], imu[:, 0]
+        return {
+            "x": jnp.zeros((N_, nb), dtype).at[:, -1].set(-g0),
+            "u": jnp.zeros((N_, mb), dtype).at[:, -1].set(g0),
+            "xx": jnp.zeros((N_, nb, nb), dtype).at[:, -1, -1].set(i0),
+            "uu": jnp.zeros((N_, mb, mb), dtype).at[:, -1, -1].set(i0),
+            "ux": jnp.zeros((N_, mb, nb), dtype).at[:, -1, -1].set(-i0),
+        }
+
+    con.al_terms = al_terms
+    return con
 
 
 def minimum_time_problem(prob: Problem, R_min_time: float = 1.0,
