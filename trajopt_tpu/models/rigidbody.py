@@ -28,6 +28,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from trajopt_tpu.models.base import Model
+from trajopt_tpu.ops.linalg import spd_solve_vec
 
 
 # ------------------------------------------------------------ URDF parsing
@@ -351,7 +352,9 @@ class RigidBodyChain:
         if use_damping:
             damping = jnp.asarray([j.damping for j in self.moving], x.dtype)
             rhs = rhs - damping * qd
-        qdd = jnp.linalg.solve(H, rhs)
+        # mass matrix is SPD: unrolled elimination beats the batched-LU
+        # custom call on TPU by ~20× at these sizes (ops/linalg.py)
+        qdd = spd_solve_vec(H, rhs)
         return jnp.concatenate([qd, qdd])
 
 

@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from trajopt_tpu.models.base import Model
+from trajopt_tpu.ops.linalg import spd_solve_vec
 
 # ---------------------------------------------------------------- pendulum
 # reference dynamics/pendulum.jl:3-14
@@ -75,7 +76,7 @@ def cartpole_dynamics(x, u):
     G = jnp.array([0.0, mp * g * l * s], dtype=x.dtype)
     B = jnp.array([1.0, 0.0], dtype=x.dtype)
 
-    qdd = -jnp.linalg.solve(H, C @ qd + G - B * u[0])
+    qdd = -spd_solve_vec(H, C @ qd + G - B * u[0])
     return jnp.concatenate([qd, qdd])
 
 
@@ -93,7 +94,7 @@ def cartpole_dynamics_uncertain(x, u, w):
     G = jnp.array([0.0, mp * g * l * s], dtype=x.dtype)
     B = jnp.array([1.0, 0.0], dtype=x.dtype)
 
-    qdd = -jnp.linalg.solve(H, C @ qd + G - B * u[0] - B * w[0])
+    qdd = -spd_solve_vec(H, C @ qd + G - B * u[0] - B * w[0])
     return jnp.concatenate([qd, qdd])
 
 
@@ -161,7 +162,7 @@ def _two_link_dynamics(x, tau):
     G = jnp.array([g1, g2], dtype=x.dtype)
 
     damp = jnp.array([p["b1"] * qd1, p["b2"] * qd2], dtype=x.dtype)
-    qdd = jnp.linalg.solve(H, tau - C - G - damp)
+    qdd = spd_solve_vec(H, tau - C - G - damp)
     return jnp.concatenate([x[2:], qdd])
 
 

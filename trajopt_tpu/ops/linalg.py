@@ -1,0 +1,50 @@
+"""Small dense linear algebra, unrolled for TPU.
+
+Batched LAPACK-style ``cholesky`` / ``lu`` / ``cho_solve`` custom calls on
+tiny matrices (n ≤ 8) lower to sequential masked loops on TPU and dominate
+whatever surrounds them — measured ~3× the cost of all the backward pass's
+matmuls combined inside iLQR, and 26 ms (vs ~1 ms for everything else) for
+the cartpole trajectory Jacobians at B=128, where ``jacfwd`` pushes 5
+tangents through a 2×2 ``jnp.linalg.solve`` at every RK3 stage. The fix is
+the same in both places: fully unrolled elimination over static shapes —
+pure vectorized arithmetic that vmap turns into lane-parallel VPU code.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def posdef_solve(S, rhs):
+    """Solve S X = rhs for small symmetric positive-definite S with fully
+    unrolled Gaussian elimination (no pivoting — PD ⇒ stable).
+
+    Returns (X, fail) where fail = True iff a pivot is ≤ 0 or non-finite
+    (the `isposdef` check of reference backward_pass.jl:52).
+    """
+    m = S.shape[-1]
+    Aug = jnp.concatenate([S, rhs], axis=-1)          # (m, m+k)
+    fail = jnp.asarray(False)
+    rows = [Aug[i] for i in range(m)]
+    # forward elimination
+    for i in range(m):
+        piv = rows[i][i]
+        fail = fail | (piv <= 0.0) | ~jnp.isfinite(piv)
+        inv = 1.0 / piv
+        for j in range(i + 1, m):
+            rows[j] = rows[j] - rows[j][i] * inv * rows[i]
+    # back substitution
+    for i in range(m - 1, -1, -1):
+        r = rows[i]
+        for j in range(i + 1, m):
+            r = r - r[j] * rows[j]
+        rows[i] = r / rows[i][i]
+    X = jnp.stack([rows[i][m:] for i in range(m)])
+    return X, fail
+
+
+def spd_solve_vec(H, b):
+    """H⁻¹ b for a small SPD matrix H and vector b (mass-matrix solves in
+    the model dynamics — reference dynamics/*.jl use ``H\\…``). Same
+    unrolled elimination as :func:`posdef_solve`, solution only."""
+    x, _ = posdef_solve(H, b[:, None])
+    return x[:, 0]

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from trajopt_tpu.ops.cost import Expansion
+from trajopt_tpu.ops.linalg import posdef_solve
 from trajopt_tpu.ops.rollout import rollout, rollout_closed_loop
 from trajopt_tpu.utils.tree import precise, static_dataclass
 
@@ -126,37 +127,6 @@ def _rollout_tile_bytes(N, n, m, ns):
         n + 2 * N * n + (N - 1) * (2 * m + m * ns + m) + 3)
 
 
-def posdef_solve(S, rhs):
-    """Solve S X = rhs for small symmetric positive-definite S with fully
-    unrolled Gaussian elimination (no pivoting — PD ⇒ stable).
-
-    TPU rationale: batched LAPACK-style `cholesky`/`cho_solve` on tiny
-    (m ≤ 8) matrices lower to sequential masked loops that dominate the
-    backward pass (measured ~3× the cost of all its matmuls combined); the
-    unrolled elimination is pure vectorized arithmetic.
-
-    Returns (X, fail) where fail = True iff a pivot is ≤ 0 or non-finite
-    (the `isposdef` check of backward_pass.jl:52).
-    """
-    m = S.shape[-1]
-    Aug = jnp.concatenate([S, rhs], axis=-1)          # (m, m+k)
-    fail = jnp.asarray(False)
-    rows = [Aug[i] for i in range(m)]
-    # forward elimination
-    for i in range(m):
-        piv = rows[i][i]
-        fail = fail | (piv <= 0.0) | ~jnp.isfinite(piv)
-        inv = 1.0 / piv
-        for j in range(i + 1, m):
-            rows[j] = rows[j] - rows[j][i] * inv * rows[i]
-    # back substitution
-    for i in range(m - 1, -1, -1):
-        r = rows[i]
-        for j in range(i + 1, m):
-            r = r - r[j] * rows[j]
-        rows[i] = r / rows[i][i]
-    X = jnp.stack([rows[i][m:] for i in range(m)])
-    return X, fail
 
 
 def sqrt_sweep(A, B, exp: Expansion, rho_val):
