@@ -222,3 +222,25 @@ def test_error_state_f32_with_sqrt_bp():
         res.X[-1, :3] - jnp.asarray([0.0, 60.0, 10.0], jnp.float32)))
     assert err < 0.01
     assert int(res.iterations_total) < 60
+
+
+def test_initial_rollout_overflow_falls_back_to_hold():
+    """An open-loop seed rollout that overflows (finite-time blowup) must
+    not poison the solve with a NaN J0: the solver falls back to holding x0
+    and recovers through the closed-loop forward pass (the TPU-f32 failure
+    mode of kuka_obstacles' gravity-comp hold seed; solvers/ilqr.py initial
+    rollout guard)."""
+    def blowup_dynamics(x, u):
+        # x' = x^2 + u: from x0=2 with u=0 the open-loop rollout overflows
+        # within a dozen knots in any float width
+        return x * x + u
+
+    model_d = tt.discretize(tt.Model(blowup_dynamics, 1, 1, name="blowup"), "rk3")
+    N = 31
+    obj = tt.LQRObjective(np.eye(1), np.eye(1) * 1e-2, np.eye(1) * 10.0,
+                          np.zeros(1), N)
+    prob = tt.problem(model_d, obj, x0=np.full(1, 2.0), xf=np.zeros(1),
+                      N=N, dt=1.0, U0=np.zeros((N - 1, 1)))
+    res = tt.al_solve(prob, tt.ALOptions())
+    assert np.isfinite(float(res.J))
+    assert np.all(np.isfinite(np.asarray(res.X)))

@@ -576,6 +576,15 @@ def ilqr_solve(
         # initial rollout if no valid state seed (reference rollout!, rollout.jl:25-31)
         needs = ~jnp.all(jnp.isfinite(X0))
         X_roll = rollout(model, x0, U0, dt_traj)
+        # Open-loop seed rollouts of unstable undamped systems can overflow
+        # from rounding-level input differences (kuka hold torques cancel
+        # gravity exactly on the host that computed them but leave a ~1e-3
+        # residual under TPU rounding, and the free arm then blows up in a
+        # dozen RK3 steps). Falling back to holding x0 keeps J0 finite; the
+        # first forward pass re-rolls closed loop around the hold with
+        # feedback gains, which absorbs the drift.
+        blew = ~jnp.all(jnp.isfinite(X_roll))
+        X_roll = jnp.where(blew, jnp.broadcast_to(x0, X_roll.shape), X_roll)
         X0 = jnp.where(needs, X_roll, X0)
 
     J0 = cost_fn(X0, U0)
