@@ -190,3 +190,47 @@ def test_dirtrel_vertex_tightening_backs_off_bounds():
                     np.asarray(res.E[:-1]), np.asarray(res.K))
     M = np.asarray(psd_sqrt(jnp.asarray(KEK), 1e-10))
     assert np.allclose(np.einsum("kij,kjl->kil", M, M), KEK, atol=1e-6)
+
+
+def test_structured_rbd_jvp_matches_generic_ad():
+    """make_chain_dynamics' inverse-dynamics JVP (rigidbody.py) must match
+    plain jacfwd through CRBA + RNEA + the solve, in both AD modes (the
+    kuka trajectory Jacobians run through it at every iLQR iteration)."""
+    import jax
+    import jax.numpy as jnp
+
+    from trajopt_tpu.models.robots import kuka_chain, kuka_model
+
+    ch = kuka_chain()
+    mdl = kuka_model()
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=14) * 0.5)
+    u = jnp.asarray(rng.normal(size=7))
+
+    # inverse-dynamics identity: ID(q, qd, qdd) == H qdd + bias
+    q, qd = x[:7], x[7:]
+    qdd = jnp.asarray(rng.normal(size=7))
+    tau_id = ch.inverse_dynamics(q, qd, qdd)
+    H = ch.mass_matrix(q)
+    bias = ch.bias_forces(q, qd)
+    np.testing.assert_allclose(np.asarray(tau_id), np.asarray(H @ qdd + bias),
+                               rtol=1e-10, atol=1e-10)
+
+    def raw(x_, u_):
+        return ch.dynamics(x_, u_, B=None, gravity=9.81, use_damping=False)
+
+    A_ref = jax.jacfwd(raw, argnums=0)(x, u)
+    B_ref = jax.jacfwd(raw, argnums=1)(x, u)
+    A = jax.jacfwd(mdl.dynamics, argnums=0)(x, u)
+    Bm = jax.jacfwd(mdl.dynamics, argnums=1)(x, u)
+    np.testing.assert_allclose(np.asarray(A), np.asarray(A_ref),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Bm), np.asarray(B_ref),
+                               rtol=1e-9, atol=1e-9)
+
+    # reverse mode must transpose through the custom JVP (DIRCOL/PN pull
+    # gradients back through the dynamics)
+    g = jax.grad(lambda x_: jnp.sum(mdl.dynamics(x_, u) ** 2))(x)
+    g_ref = jax.grad(lambda x_: jnp.sum(raw(x_, u) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-8, atol=1e-8)

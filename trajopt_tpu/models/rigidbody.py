@@ -336,6 +336,35 @@ class RigidBodyChain:
             return out, p_world
         return out
 
+    def inverse_dynamics(self, q, qd, qdd, gravity=9.81):
+        """τ = H(q) q̈ + C(q, q̇)q̇ + G(q) via the full RNEA (Featherstone
+        alg. 5.1 — ``bias_forces`` is this with q̈ = 0). Used by the
+        structured dynamics JVP: differentiating the inverse-dynamics
+        identity is ~3× cheaper than differentiating CRBA + the solve."""
+        dtype = q.dtype
+        Xup, S, I, parent = self._sweep(q)
+        nd = self.ndof
+        a_grav = jnp.array([0, 0, 0, 0, 0, gravity], dtype)
+        v = [None] * nd
+        a = [None] * nd
+        f = [None] * nd
+        for i in range(nd):
+            vJ = S[i] * qd[i]
+            aJ = S[i] * qdd[i]
+            if parent[i] >= 0:
+                v[i] = Xup[i] @ v[parent[i]] + vJ
+                a[i] = Xup[i] @ a[parent[i]] + aJ + _crm(v[i]) @ vJ
+            else:
+                v[i] = vJ
+                a[i] = Xup[i] @ a_grav + aJ + _crm(v[i]) @ vJ
+            f[i] = I[i] @ a[i] + _crf(v[i]) @ (I[i] @ v[i])
+        tau = [None] * nd
+        for i in range(nd - 1, -1, -1):
+            tau[i] = S[i] @ f[i]
+            if parent[i] >= 0:
+                f[parent[i]] = f[parent[i]] + Xup[i].T @ f[i]
+        return jnp.stack(tau)
+
     def dynamics(self, x, u, B=None, gravity=9.81, use_damping=True):
         """xdot = [q̇; H⁻¹(B u − bias − damping q̇)].
 
@@ -356,6 +385,64 @@ class RigidBodyChain:
         # custom call on TPU by ~20× at these sizes (ops/linalg.py)
         qdd = spd_solve_vec(H, rhs)
         return jnp.concatenate([qd, qdd])
+
+
+def make_chain_dynamics(chain: "RigidBodyChain", B=None, gravity: float = 9.81,
+                        use_damping: bool = True):
+    """``f(x, u) = [q̇; H⁻¹(B u − bias − damping·q̇)]`` with a structured JVP.
+
+    Plain ``jacfwd`` pushes n+m tangents through CRBA + RNEA + the solve —
+    53 ms per trajectory-Jacobian batch at kuka shapes (B=128, N=41) and the
+    dominant phase of the kuka solves. Differentiating the inverse-dynamics
+    identity instead (Featherstone §, standard trick):
+
+        H(q) q̈ + bias(q, q̇) + damping·q̇ = τ
+        ⇒ H dq̈ = dτ − damping·dq̇ − ∂ID(q, q̇; q̈ fixed)·(dq, dq̇)
+
+    needs one RNEA JVP plus one extra H-solve per tangent — the CRBA and
+    the factorization are never differentiated.
+    """
+    import jax
+
+    from trajopt_tpu.ops.linalg import posdef_solve
+
+    damping = np.asarray([j.damping for j in chain.moving], np.float64)
+
+    @jax.custom_jvp
+    def f(x, u):
+        return chain.dynamics(x, u, B=B, gravity=gravity,
+                              use_damping=use_damping)
+
+    @f.defjvp
+    def f_jvp(primals, tangents):
+        x, u = primals
+        dx, du = tangents
+        nd = chain.ndof
+        q, qd = x[:nd], x[nd:]
+        dq, dqd = dx[:nd], dx[nd:]
+        H = chain.mass_matrix(q)
+        # explicit primal H⁻¹ (nd ≤ 8, SPD, modest condition): applying a
+        # primal-constant matrix keeps the tangent path linear/transposable
+        # (eliminating an augmented [H | drhs] would entangle the pivots
+        # with the tangents and break reverse-mode through the JVP)
+        Hinv, _ = posdef_solve(H, jnp.eye(nd, dtype=x.dtype))
+        tau = u if B is None else jnp.asarray(B, q.dtype) @ u
+        rhs = tau - chain.bias_forces(q, qd, gravity)
+        if use_damping:
+            rhs = rhs - jnp.asarray(damping, q.dtype) * qd
+        qdd = Hinv @ rhs
+        _, dID = jax.jvp(
+            lambda q_, qd_: chain.inverse_dynamics(q_, qd_, qdd, gravity),
+            (q, qd), (dq, dqd))
+        dtau = du if B is None else jnp.asarray(B, q.dtype) @ du
+        drhs = dtau - dID
+        if use_damping:
+            drhs = drhs - jnp.asarray(damping, q.dtype) * dqd
+        dqdd = Hinv @ drhs
+        return (jnp.concatenate([qd, qdd]),
+                jnp.concatenate([dqd, dqdd]))
+
+    return f
 
 
 def model_from_urdf(urdf_path: str, actuated=None, name: Optional[str] = None,
@@ -380,8 +467,7 @@ def model_from_urdf(urdf_path: str, actuated=None, name: Optional[str] = None,
             B[c, i] = actuated[c]
         m = len(cols)
 
-    def f(x, u):
-        return chain.dynamics(x, u, B=B, gravity=gravity)
+    f = make_chain_dynamics(chain, B=B, gravity=gravity)
 
     model = Model(f, 2 * nd, m, name=name or f"urdf({urdf_path})")
     model.chain = chain

@@ -12,7 +12,9 @@ from __future__ import annotations
 import numpy as np
 
 from trajopt_tpu.models.base import Model
-from trajopt_tpu.models.rigidbody import RigidBodyChain, UrdfJoint, UrdfLink
+from trajopt_tpu.models.rigidbody import (
+    RigidBodyChain, UrdfJoint, UrdfLink, make_chain_dynamics,
+)
 
 _PI = float(np.pi)
 _HP = _PI / 2.0
@@ -117,10 +119,10 @@ def _model_from_chain(chain: RigidBodyChain, actuated=None, name="robot",
             B[c, i] = actuated[c]
         m = len(cols)
 
-    def f(x, u):
-        # use_damping=False matches the reference: RigidBodyDynamics.jl does
-        # not parse URDF <dynamics damping> (reference model.jl:411-415)
-        return chain.dynamics(x, u, B=B, gravity=gravity, use_damping=False)
+    # use_damping=False matches the reference: RigidBodyDynamics.jl does
+    # not parse URDF <dynamics damping> (reference model.jl:411-415).
+    # Structured inverse-dynamics JVP — see rigidbody.make_chain_dynamics.
+    f = make_chain_dynamics(chain, B=B, gravity=gravity, use_damping=False)
 
     model = Model(f, 2 * nd, m, name=name)
     model.chain = chain
