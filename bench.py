@@ -36,33 +36,36 @@ BASELINE_MAZE = 1.0 / 6.51    # reference quadrotor_maze AL stage
 
 def bench_ilqr():
     import trajopt_tpu as tt
-    from trajopt_tpu.parallel.batch import solve_batch
+    from trajopt_tpu.parallel.batch import solve_batch_queued
     from trajopt_tpu.solvers.ilqr import iLQROptions
     from __graft_entry__ import _quadrotor_problem
 
     dtype = jnp.float32
     prob = _quadrotor_problem(N=101, dtype=dtype)
-    B = 256
+    B = 4096
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(
         np.tile(np.asarray(prob.x0)[None], (B, 1))
         + np.concatenate([rng.normal(size=(B, 3)) * 0.1,
                           np.zeros((B, 10))], axis=1), dtype)
-    # error-state + QR-sqrt is the measured best config on TPU f32: the
-    # fused Pallas sqrt kernel (ops/pallas_sqrt.py) + structured quaternion
-    # projection give 830 solves/s at conv 0.992 / med err 1e-4, vs
-    # 654 / 0.984 / 4.4e-3 for the plain scan path (round-2 measurements).
-    opts = tt.ALOptions(opts_uncon=iLQROptions(
-        iterations=100, error_state=True, bp_type="sqrt"))
-    solve = jax.jit(lambda xs: solve_batch(prob, opts, xs))
+    # error-state + QR-sqrt is the measured best config on TPU f32 (fused
+    # Pallas sqrt kernel + structured quaternion projection). The queued
+    # pool driver (parallel/batch.py) binds throughput to the MEAN
+    # iteration count instead of the slowest lane: plain vmap B=256 = 847
+    # solves/s; 4096-pool/128-lane queued with 25-iteration rounds = 1798
+    # at the same quality (round-2 sweep, /tmp logs recorded in
+    # BENCH_LOCAL.md).
+    opts = tt.ALOptions(iterations=16, opts_uncon=iLQROptions(
+        iterations=25, error_state=True, bp_type="sqrt"))
+    solve = jax.jit(lambda xs: solve_batch_queued(prob, opts, xs, lanes=128))
 
     res = solve(x0s)
     jax.block_until_ready(res.X)
     pos_err = jnp.linalg.norm(
-        res.X[:, -1, :3] - jnp.asarray([0.0, 60.0, 10.0], dtype), axis=-1)
+        res.X[:B, -1, :3] - jnp.asarray([0.0, 60.0, 10.0], dtype), axis=-1)
     converged = float(jnp.mean((pos_err < 0.5).astype(jnp.float32)))
 
-    reps = 3
+    reps = 2
     t0 = time.perf_counter()
     for _ in range(reps):
         res = solve(x0s)

@@ -219,3 +219,34 @@ def test_queued_batch_matches_vmap_solve():
     assert np.allclose(np.asarray(out.X), np.asarray(ref.X), atol=1e-6)
     # pool (24) > lanes (8): slots must have been recycled
     assert int(out.rounds) < 24 * int(jnp.max(ref.iterations))
+
+
+def test_queued_batch_unconstrained_runs_to_inner_convergence():
+    """For an UNCONSTRAINED problem c_max is identically zero, so the lane
+    done-rule must gate on inner-solve convergence (exited below its
+    iteration cap at FINAL tolerances), not on c_max — otherwise every
+    lane 'converges' after one truncated round (solvers/al.py
+    al_lane_stepper). Quality must match the plain al_solve arm even when
+    the inner cap forces multiple rounds."""
+    from trajopt_tpu.parallel.batch import solve_batch_queued
+    from trajopt_tpu.problems import zoo as probs
+
+    base = probs.pendulum()
+    # strip constraints -> unconstrained swing-up (xf pull via cost only)
+    prob = tt.update_problem(
+        base, constraints=tt.ConstraintSet.build([], base.N))
+    B = 12
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(rng.normal(size=(B, 2)) * 0.2)
+
+    ref = solve_batch(prob, tt.ALOptions(), x0s)          # single 300-cap inner
+    opts = tt.ALOptions(iterations=30,
+                        opts_uncon=tt.iLQROptions(iterations=7))
+    out = jax.jit(lambda xs: solve_batch_queued(prob, opts, xs,
+                                                lanes=4))(x0s)
+    # same optimum to solver precision despite 7-iteration rounds
+    assert np.allclose(np.asarray(out.J[:B]), np.asarray(ref.J), rtol=1e-4,
+                       atol=1e-6)
+    assert np.allclose(np.asarray(out.X[:B]), np.asarray(ref.X), atol=1e-3)
+    # and the pool genuinely streamed through the 4 lanes
+    assert int(out.rounds) >= B // 4

@@ -189,12 +189,21 @@ def al_lane_stepper(prob: Problem, opts: ALOptions, constraint_tolerance=None,
             it_total=jnp.zeros((), jnp.int32), gradient=big,
             converged=jnp.asarray(False))
 
+    unconstrained = P == 0
+
     def step(st: ALLaneState) -> ALLaneState:
-        last = st.it == opts.iterations - 1
-        cost_tol = jnp.where(last, opts.cost_tolerance,
-                             opts.cost_tolerance_intermediate)
-        grad_tol = jnp.where(last, opts.gradient_norm_tolerance,
-                             opts.gradient_norm_tolerance_intermediate)
+        if unconstrained:
+            # no duals/penalties to stitch tolerances around: every round
+            # runs at FINAL tolerances (matching al_solve's unconstrained
+            # plain-iLQR arm) — rounds just continue the same descent
+            cost_tol = jnp.asarray(opts.cost_tolerance, dtype)
+            grad_tol = jnp.asarray(opts.gradient_norm_tolerance, dtype)
+        else:
+            last = st.it == opts.iterations - 1
+            cost_tol = jnp.where(last, opts.cost_tolerance,
+                                 opts.cost_tolerance_intermediate)
+            grad_tol = jnp.where(last, opts.gradient_norm_tolerance,
+                                 opts.gradient_norm_tolerance_intermediate)
         cost_fn, expansion_fn = al_cost_fns(prob.obj, cs, dt_traj, st.lam,
                                             st.mu, atol)
         res = ilqr_solve(prob.model, cost_fn, expansion_fn, st.x0, st.X,
@@ -212,6 +221,11 @@ def al_lane_stepper(prob: Problem, opts: ALOptions, constraint_tolerance=None,
             lam = dual_update(cs, C, st.lam, st.mu, opts)
             mu = penalty_update(cs, st.mu, scaling[None, :], opts)
         converged = c_max_new < ctol
+        if unconstrained:
+            # c_max is identically 0 — a lane is done only when the INNER
+            # solve converged by its own dJ/grad rules rather than being
+            # cut by the round boundary
+            converged = converged & res.converged
         if opts.kickout_max_penalty:
             converged = converged | (jnp.max(mu) >= opts.penalty_max)
         return ALLaneState(

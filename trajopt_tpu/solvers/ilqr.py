@@ -92,6 +92,7 @@ class ILQRResult(NamedTuple):
     dJ: jnp.ndarray
     rho: jnp.ndarray
     drho: jnp.ndarray
+    converged: jnp.ndarray = jnp.asarray(False)
 
 
 def reg_increase(rho, drho, opts: iLQROptions):
@@ -655,7 +656,7 @@ def ilqr_solve(
     (X, U, K, d, J, dJ, grad, rho, drho, dJ_zero, it, conv, _a) = \
         jax.lax.while_loop(cond_fn, body_fn, init)
     return ILQRResult(X=X, U=U, K=K, d=d, J=J, iterations=it, gradient=grad,
-                      dJ=dJ, rho=rho, drho=drho)
+                      dJ=dJ, rho=rho, drho=drho, converged=conv)
 
 
 @precise
