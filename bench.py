@@ -103,14 +103,15 @@ def bench_maze():
     mu0, sca = _penalty_rows(prob_inf.constraints,
                              ALTROOptions(R_inf=1e-8, opts_al=al_sched),
                              dtype)
-    # streaming/queued batch driver (parallel/batch.py): a 1024-problem
+    # streaming/queued batch driver (parallel/batch.py): a 2048-problem
     # pool over 128 lanes — converged lanes hand their slot to fresh
     # problems, so throughput is bound by the MEAN iteration count, not the
-    # slowest straggler. Measured 102-139 solves/s across seeds 0-4
-    # (worst/best 1.35×) vs 28-117 (4.2×) for the plain vmap batch.
+    # slowest straggler (plain vmap: 28-117 solves/s across seeds). Pool
+    # scaling measured 145.5 / 188.0 / 188.6 at 1024/2048/4096 (conv 1.0,
+    # med c_max 4e-5) — 2048 is the plateau.
     from trajopt_tpu.parallel.batch import solve_batch_queued
 
-    B = 1024
+    B = 2048
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(
         np.tile(np.asarray(prob.x0)[None], (B, 1))
@@ -132,7 +133,8 @@ def bench_maze():
     dt = time.perf_counter() - t0
 
     # verify on the ORIGINAL constraints with stripped controls
-    Xs, Us = r.X[:, :, :13], r.U[:, :, :4]
+    # drop the queued driver's scatter-pad slot before scoring
+    Xs, Us = r.X[:B, :, :13], r.U[:B, :, :4]
     C = jax.vmap(lambda X_, U_: prob.constraints.evaluate(X_, U_))(Xs, Us)
     cmax = jax.vmap(prob.constraints.max_violation)(C)
     converged = float(jnp.mean((cmax < 1e-2).astype(jnp.float32)))
