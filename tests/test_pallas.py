@@ -192,3 +192,19 @@ def test_pallas_riccati_sweep_matches_scan():
     sd = float(jnp.max(jnp.abs(d0))) + 1e-12
     assert float(jnp.max(jnp.abs(K1 - K0))) < 1e-5 * sK
     assert float(jnp.max(jnp.abs(d1 - d0))) < 1e-5 * sd
+
+
+def test_car_lanes_matches_model():
+    """Lane-batched Dubins-car step == model step (enables the fused Pallas
+    forward pass for the car problem family: parallel_park, car_3obs,
+    car_escape)."""
+    from trajopt_tpu.ops.pallas_rollout import car_step_lanes
+
+    model_d = tt.discretize(zoo.car, "rk3")
+    assert model_d.step_lanes is car_step_lanes
+    rng = np.random.default_rng(4)
+    X = jnp.asarray(rng.normal(size=(16, 3)), jnp.float64)
+    U = jnp.asarray(rng.normal(size=(16, 2)), jnp.float64)
+    ref = jax.vmap(lambda x, u: model_d.step(x, u, 0.03))(X, U)
+    lanes = car_step_lanes(X.T, U.T, 0.03).T
+    assert np.allclose(np.asarray(ref), np.asarray(lanes), atol=1e-12)

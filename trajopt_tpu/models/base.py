@@ -133,6 +133,10 @@ def discretize(model: Model, integrator: str = "rk3") -> DiscreteModel:
         from trajopt_tpu.ops.pallas_rollout import cartpole_step_lanes
 
         dmodel.step_lanes = cartpole_step_lanes
+    elif (model.name, name) == ("car", "rk3"):
+        from trajopt_tpu.ops.pallas_rollout import car_step_lanes
+
+        dmodel.step_lanes = car_step_lanes
     return dmodel
 
 

@@ -143,6 +143,23 @@ def cartpole_step_lanes(x, u, dt):
     return x + (k1 + 4.0 * k2 + k3) / 6.0
 
 
+# ----------------------------------------------------------- batch-last car
+
+def car_dynamics_lanes(x, u):
+    """Dubins car, batch-last: x (3, B), u (2, B) (same model as
+    models.zoo.car_dynamics, reference dynamics/car.jl) — the scalar form
+    is already row-indexed, so the lane layout reuses it verbatim."""
+    return jnp.stack([u[0] * jnp.cos(x[2]), u[0] * jnp.sin(x[2]), u[1]])
+
+
+def car_step_lanes(x, u, dt):
+    """RK3-ZOH step, batch-last."""
+    k1 = dt * car_dynamics_lanes(x, u)
+    k2 = dt * car_dynamics_lanes(x + 0.5 * k1, u)
+    k3 = dt * car_dynamics_lanes(x - k1 + 2.0 * k2, u)
+    return x + (k1 + 4.0 * k2 + k3) / 6.0
+
+
 # ----------------------------------------------------------------- kernel
 
 def _rollout_kernel(step_lanes, diff_lanes, N,
