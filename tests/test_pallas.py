@@ -3,6 +3,7 @@ TPU by bench/graft runs)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import trajopt_tpu as tt
 from trajopt_tpu.models import zoo
@@ -194,17 +195,23 @@ def test_pallas_riccati_sweep_matches_scan():
     assert float(jnp.max(jnp.abs(d1 - d0))) < 1e-5 * sd
 
 
-def test_car_lanes_matches_model():
-    """Lane-batched Dubins-car step == model step (enables the fused Pallas
-    forward pass for the car problem family: parallel_park, car_3obs,
-    car_escape)."""
-    from trajopt_tpu.ops.pallas_rollout import car_step_lanes
+@pytest.mark.parametrize("model,lanes_name", [
+    (zoo.car, "car_step_lanes"),
+    (zoo.pendulum, "pendulum_step_lanes"),
+    (zoo.doubleintegrator, "double_integrator_step_lanes"),
+])
+def test_small_model_lanes_match_model(model, lanes_name):
+    """Lane-batched steps == model steps for the small analytic zoo models
+    (enables the fused Pallas forward pass for the car family, pendulum,
+    and double-integrator problems)."""
+    from trajopt_tpu.ops import pallas_rollout
 
-    model_d = tt.discretize(zoo.car, "rk3")
-    assert model_d.step_lanes is car_step_lanes
+    step_lanes = getattr(pallas_rollout, lanes_name)
+    model_d = tt.discretize(model, "rk3")
+    assert model_d.step_lanes is step_lanes
     rng = np.random.default_rng(4)
-    X = jnp.asarray(rng.normal(size=(16, 3)), jnp.float64)
-    U = jnp.asarray(rng.normal(size=(16, 2)), jnp.float64)
+    X = jnp.asarray(rng.normal(size=(16, model.n)), jnp.float64)
+    U = jnp.asarray(rng.normal(size=(16, model.m)), jnp.float64)
     ref = jax.vmap(lambda x, u: model_d.step(x, u, 0.03))(X, U)
-    lanes = car_step_lanes(X.T, U.T, 0.03).T
+    lanes = step_lanes(X.T, U.T, 0.03).T
     assert np.allclose(np.asarray(ref), np.asarray(lanes), atol=1e-12)

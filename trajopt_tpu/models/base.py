@@ -137,6 +137,16 @@ def discretize(model: Model, integrator: str = "rk3") -> DiscreteModel:
         from trajopt_tpu.ops.pallas_rollout import car_step_lanes
 
         dmodel.step_lanes = car_step_lanes
+    elif (model.name, name) == ("pendulum", "rk3"):
+        from trajopt_tpu.ops.pallas_rollout import pendulum_step_lanes
+
+        dmodel.step_lanes = pendulum_step_lanes
+    elif (model.name, name) == ("doubleintegrator", "rk3"):
+        from trajopt_tpu.ops.pallas_rollout import (
+            double_integrator_step_lanes,
+        )
+
+        dmodel.step_lanes = double_integrator_step_lanes
     return dmodel
 
 

@@ -143,7 +143,18 @@ def cartpole_step_lanes(x, u, dt):
     return x + (k1 + 4.0 * k2 + k3) / 6.0
 
 
-# ----------------------------------------------------------- batch-last car
+# ------------------------------------- batch-last car / pendulum / 2x-int
+
+def _rk3_lanes(dyn):
+    """RK3-ZOH step factory for batch-last lane dynamics
+    (reference integration.jl:149-158)."""
+    def step(x, u, dt):
+        k1 = dt * dyn(x, u)
+        k2 = dt * dyn(x + 0.5 * k1, u)
+        k3 = dt * dyn(x - k1 + 2.0 * k2, u)
+        return x + (k1 + 4.0 * k2 + k3) / 6.0
+    return step
+
 
 def car_dynamics_lanes(x, u):
     """Dubins car, batch-last: x (3, B), u (2, B) (same model as
@@ -152,12 +163,21 @@ def car_dynamics_lanes(x, u):
     return jnp.stack([u[0] * jnp.cos(x[2]), u[0] * jnp.sin(x[2]), u[1]])
 
 
-def car_step_lanes(x, u, dt):
-    """RK3-ZOH step, batch-last."""
-    k1 = dt * car_dynamics_lanes(x, u)
-    k2 = dt * car_dynamics_lanes(x + 0.5 * k1, u)
-    k3 = dt * car_dynamics_lanes(x - k1 + 2.0 * k2, u)
-    return x + (k1 + 4.0 * k2 + k3) / 6.0
+def pendulum_dynamics_lanes(x, u):
+    """Damped pendulum, batch-last: x (2, B), u (1, B) (same constants as
+    models.zoo.pendulum_dynamics, reference dynamics/pendulum.jl)."""
+    m, b, lc, I_, g = 1.0, 0.1, 0.5, 0.25, 9.81
+    return jnp.stack([x[1], (u[0] - m * g * lc * jnp.sin(x[0]) - b * x[1]) / I_])
+
+
+def double_integrator_dynamics_lanes(x, u):
+    """Double integrator, batch-last (models.zoo.double_integrator_dynamics)."""
+    return jnp.stack([x[1], u[0]])
+
+
+car_step_lanes = _rk3_lanes(car_dynamics_lanes)
+pendulum_step_lanes = _rk3_lanes(pendulum_dynamics_lanes)
+double_integrator_step_lanes = _rk3_lanes(double_integrator_dynamics_lanes)
 
 
 # ----------------------------------------------------------------- kernel
