@@ -86,30 +86,24 @@ def bench_ilqr():
 def bench_maze():
     import trajopt_tpu as tt
     from trajopt_tpu.problems import zoo as probs
-    from trajopt_tpu.solvers.altro import (
-        ALTROOptions, _penalty_rows, infeasible_problem,
-    )
+    from trajopt_tpu.solvers.altro import ALTROOptions
     from trajopt_tpu.solvers.ilqr import iLQROptions
 
     dtype = jnp.float32
     prob = probs.quadrotor_maze(dtype=dtype)
-    prob_inf = infeasible_problem(prob, 1e-8)
     # schedule from benchmark/maze_schedule_sweep.py rounds 1-6:
     # penalty_scaling=25, inner iLQR cap 10, intermediate cost tol 1e-3
     # (frequent dual updates) → 116 solves/s vs 24.6 at the reference
     # defaults; 100% converged at c_max < 1e-3 on every tested x0 seed.
     # Caps below 10 crack convergence (i8: 98.4%, i6: 77%).
-    al_sched = tt.ALOptions(penalty_initial=1.0, penalty_scaling=25.0)
-    mu0, sca = _penalty_rows(prob_inf.constraints,
-                             ALTROOptions(R_inf=1e-8, opts_al=al_sched),
-                             dtype)
-    # streaming/queued batch driver (parallel/batch.py): a 2048-problem
+    #
+    # streaming/queued ALTRO-AL driver (parallel/batch.py): a 2048-problem
     # pool over 128 lanes — converged lanes hand their slot to fresh
     # problems, so throughput is bound by the MEAN iteration count, not the
     # slowest straggler (plain vmap: 28-117 solves/s across seeds). Pool
     # scaling measured 145.5 / 188.0 / 188.6 at 1024/2048/4096 (conv 1.0,
     # med c_max 4e-5) — 2048 is the plateau.
-    from trajopt_tpu.parallel.batch import solve_batch_queued
+    from trajopt_tpu.parallel.batch import solve_batch_queued_altro
 
     B = 2048
     rng = np.random.default_rng(0)
@@ -117,14 +111,15 @@ def bench_maze():
         np.tile(np.asarray(prob.x0)[None], (B, 1))
         + np.concatenate([rng.normal(size=(B, 3)) * 0.05,
                           np.zeros((B, 10))], axis=1), dtype)
-    opts = tt.ALOptions(iterations=40, opts_uncon=iLQROptions(iterations=10),
-                        cost_tolerance=1e-5, cost_tolerance_intermediate=1e-3,
-                        constraint_tolerance=1e-3,
-                        penalty_initial=1.0, penalty_scaling=25.0)
+    al_sched = tt.ALOptions(
+        iterations=40, opts_uncon=iLQROptions(iterations=10),
+        cost_tolerance=1e-5, cost_tolerance_intermediate=1e-3,
+        constraint_tolerance=1e-3,
+        penalty_initial=1.0, penalty_scaling=25.0)
+    opts = ALTROOptions(R_inf=1e-8, opts_al=al_sched)
 
-    solve = jax.jit(lambda xs: solve_batch_queued(
-        prob_inf, opts, xs, lanes=128, mu_init=mu0[None, :],
-        penalty_scaling=sca))
+    solve = jax.jit(lambda xs: solve_batch_queued_altro(
+        prob, opts, xs, lanes=128, infeasible=True))
     r = solve(x0s)
     jax.block_until_ready(r.X)
     t0 = time.perf_counter()
@@ -132,11 +127,8 @@ def bench_maze():
     jax.block_until_ready(r.X)
     dt = time.perf_counter() - t0
 
-    # verify on the ORIGINAL constraints with stripped controls
-    # drop the queued driver's scatter-pad slot before scoring
-    Xs, Us = r.X[:B, :, :13], r.U[:B, :, :4]
-    C = jax.vmap(lambda X_, U_: prob.constraints.evaluate(X_, U_))(Xs, Us)
-    cmax = jax.vmap(prob.constraints.max_violation)(C)
+    # c_max is already scored on the ORIGINAL constraints (slacks stripped)
+    cmax = r.c_max
     converged = float(jnp.mean((cmax < 1e-2).astype(jnp.float32)))
     return B / dt, converged, float(jnp.median(cmax))
 

@@ -250,3 +250,29 @@ def test_queued_batch_unconstrained_runs_to_inner_convergence():
     assert np.allclose(np.asarray(out.X[:B]), np.asarray(ref.X), atol=1e-3)
     # and the pool genuinely streamed through the 4 lanes
     assert int(out.rounds) >= B // 4
+
+
+def test_queued_altro_batch_strips_slacks_and_scores_original():
+    """solve_batch_queued_altro applies the infeasible-start transform +
+    ALTRO penalty schedules, streams the pool, and returns original-dim
+    trajectories scored on the ORIGINAL constraints."""
+    from trajopt_tpu.parallel.batch import solve_batch_queued_altro
+    from trajopt_tpu.problems import zoo as probs
+    from trajopt_tpu.solvers.altro import ALTROOptions
+
+    base = probs.pendulum()
+    # finite state seed (straight-line interp) -> infeasible start
+    seed = jnp.linspace(jnp.zeros(2), jnp.asarray(base.xf), base.N)
+    prob = tt.update_problem(base, X=seed)
+    B = 8
+    rng = np.random.default_rng(2)
+    x0s = jnp.asarray(rng.normal(size=(B, 2)) * 0.1)
+    opts = ALTROOptions(R_inf=1e-4)
+    out = jax.jit(lambda xs: solve_batch_queued_altro(prob, opts, xs,
+                                                      lanes=4))(x0s)
+    assert out.X.shape == (B, base.N, 2)
+    assert out.U.shape == (B, base.N - 1, 1)
+    # converged on the ORIGINAL constraints (goal + bounds)
+    assert bool(jnp.all(out.c_max < 1e-3)), np.asarray(out.c_max)
+    xf = np.asarray(base.xf)
+    assert np.allclose(np.asarray(out.X[:, -1]), xf[None], atol=1e-2)

@@ -156,6 +156,39 @@ def solve_batch_queued(prob: Problem, opts: ALOptions, x0s, lanes: int = 128,
         iterations_total=outs.iterations_total[:Bp], rounds=outs.rounds)
 
 
+def solve_batch_queued_altro(prob: Problem, opts, x0s, lanes: int = 128,
+                             infeasible: Optional[bool] = None,
+                             constraint_tolerance=None) -> QueuedBatchResult:
+    """Streaming batched AL stage of ALTRO (the throughput-mode counterpart
+    of :func:`trajopt_tpu.solvers.altro.altro_solve`): applies the
+    infeasible-start slack transform + ALTRO's per-row penalty schedules,
+    streams the pool through :func:`solve_batch_queued`, strips the slack
+    controls, and re-scores ``c_max`` on the ORIGINAL constraints.
+
+    ``opts``: ALTROOptions. PN polish, feasible re-solve, and minimum-time
+    are not applied here (they are single-solve polish stages; see
+    altro_solve) — this drives the AL stage that dominates batched
+    throughput, exactly the pattern bench.py uses for quadrotor_maze.
+    """
+    from trajopt_tpu.solvers.altro import _penalty_rows, infeasible_problem
+
+    dtype = prob.U.dtype
+    if infeasible is None:
+        infeasible = bool(np.all(np.isfinite(jax.device_get(prob.X))))
+    prob_t = infeasible_problem(prob, opts.R_inf) if infeasible else prob
+    mu0, sca = _penalty_rows(prob_t.constraints, opts, dtype)
+    res = solve_batch_queued(prob_t, opts.opts_al, x0s, lanes=lanes,
+                             constraint_tolerance=constraint_tolerance,
+                             mu_init=mu0[None, :], penalty_scaling=sca)
+    n, m = prob.model.n, prob.model.m
+    Xs, Us = res.X[:, :, :n], res.U[:, :, :m]
+    C = jax.vmap(lambda X_, U_: prob.constraints.evaluate(X_, U_))(Xs, Us)
+    c_max = jax.vmap(prob.constraints.max_violation)(C)
+    return QueuedBatchResult(X=Xs, U=Us, c_max=c_max, J=res.J,
+                             iterations_total=res.iterations_total,
+                             rounds=res.rounds)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     devices = np.array(jax.devices()[: n_devices] if n_devices else jax.devices())
     return Mesh(devices, (axis,))
