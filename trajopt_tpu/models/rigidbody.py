@@ -401,7 +401,7 @@ class RigidBodyChain:
 
 
 def make_chain_dynamics(chain: "RigidBodyChain", B=None, gravity: float = 9.81,
-                        use_damping: bool = True):
+                        use_damping: bool = True, matmul_precision=None):
     """``f(x, u) = [q̇; H⁻¹(B u − bias − damping·q̇)]`` with a structured JVP.
 
     Plain ``jacfwd`` pushes n+m tangents through CRBA + RNEA + the solve —
@@ -415,19 +415,35 @@ def make_chain_dynamics(chain: "RigidBodyChain", B=None, gravity: float = 9.81,
     needs one RNEA JVP plus one extra H-solve per tangent — the CRBA and
     the factorization are never differentiated.
     """
+    import contextlib
+
     import jax
 
     from trajopt_tpu.ops.linalg import posdef_solve
 
     damping = np.asarray([j.damping for j in chain.moving], np.float64)
 
+    def _prec():
+        # ``matmul_precision`` scopes ONLY the spatial-algebra 6×6 products
+        # (an inner context overrides the solver-level 'highest'): on TPU
+        # each f32 matmul pass is emulated in bf16, and 'highest' costs 6
+        # passes — the dominant term of the kuka trajectory Jacobians.
+        if matmul_precision is None:
+            return contextlib.nullcontext()
+        return jax.default_matmul_precision(matmul_precision)
+
     @jax.custom_jvp
     def f(x, u):
-        return chain.dynamics(x, u, B=B, gravity=gravity,
-                              use_damping=use_damping)
+        with _prec():
+            return chain.dynamics(x, u, B=B, gravity=gravity,
+                                  use_damping=use_damping)
 
     @f.defjvp
     def f_jvp(primals, tangents):
+        with _prec():
+            return _f_jvp_inner(primals, tangents)
+
+    def _f_jvp_inner(primals, tangents):
         x, u = primals
         dx, du = tangents
         nd = chain.ndof
