@@ -59,9 +59,10 @@ def car_escape():
 def car_3obs():
     from trajopt_tpu.utils.plotting import plot_scene_2d
 
+    from trajopt_tpu.problems.zoo import CAR_3OBS_CIRCLES
+
     prob, res = _solve("car_3obs")
-    circles = [(0.25, 0.25, 0.1), (0.5, 0.5, 0.1), (0.75, 0.75, 0.1)]
-    plot_scene_2d(np.asarray(res.X), circles, x0=np.asarray(prob.x0),
+    plot_scene_2d(np.asarray(res.X), CAR_3OBS_CIRCLES, x0=np.asarray(prob.x0),
                   xf=np.asarray(prob.xf), title="car 3-obstacle",
                   path=os.path.join(OUT, "car_3obs.png"))
 

@@ -276,3 +276,47 @@ def test_queued_altro_batch_strips_slacks_and_scores_original():
     assert bool(jnp.all(out.c_max < 1e-3)), np.asarray(out.c_max)
     xf = np.asarray(base.xf)
     assert np.allclose(np.asarray(out.X[:, -1]), xf[None], atol=1e-2)
+
+
+def test_parallel_riccati_overactuated_and_psd_stage_cost():
+    """Two review regressions of the square-root scan form:
+    (a) m > n (over-actuated / ALTRO slack-augmented models) crashed at
+    trace time in the U padding; (b) a merely-PSD stage Hessian (zero cost
+    weight on a state — Q = diag(1,1,0,1) — or control) NaN'd the joint
+    Cholesky. Both must match the sequential sweep."""
+    from trajopt_tpu.parallel.riccati import parallel_backward_pass
+
+    rng = np.random.default_rng(11)
+    rho = jnp.zeros(())
+    drho = jnp.ones(())
+
+    # (a) n=2, m=3 random stable system
+    N, n, m = 17, 2, 3
+    A = jnp.asarray(rng.normal(size=(N - 1, n, n)) * 0.4
+                    + np.eye(n) * 0.8)
+    B = jnp.asarray(rng.normal(size=(N - 1, n, m)) * 0.3)
+    from trajopt_tpu.ops.cost import Expansion
+    exp = Expansion(
+        x=jnp.asarray(rng.normal(size=(N, n))),
+        u=jnp.asarray(rng.normal(size=(N - 1, m))),
+        xx=jnp.broadcast_to(jnp.eye(n) * 2.0, (N, n, n)),
+        uu=jnp.broadcast_to(jnp.eye(m) * 0.5, (N - 1, m, m)),
+        ux=jnp.zeros((N - 1, m, n)))
+    K0, d0, v1_0, v2_0, _, _ = backward_pass(A, B, exp, rho, drho,
+                                             iLQROptions())
+    K1, d1, v1_1, v2_1, _, _ = parallel_backward_pass(A, B, exp, 0.0)
+    assert np.allclose(np.asarray(K1), np.asarray(K0), atol=1e-8)
+    assert np.allclose(np.asarray(d1), np.asarray(d0), atol=1e-8)
+
+    # (b) PSD-singular stage Q on the cartpole shapes
+    A2, B2, exp2 = _bp_inputs()
+    n2 = 4
+    Qsing = jnp.asarray(np.diag([1.0, 1.0, 0.0, 1.0]) * 1e-2)
+    import dataclasses
+    exp2 = dataclasses.replace(exp2, xx=exp2.xx.at[:-1].set(
+        jnp.broadcast_to(Qsing * 0.05, exp2.xx[:-1].shape)))
+    K0, d0, *_ = backward_pass(A2, B2, exp2, rho, drho, iLQROptions())
+    K1, d1, *_ = parallel_backward_pass(A2, B2, exp2, 0.0)
+    assert np.all(np.isfinite(np.asarray(K1)))
+    assert np.allclose(np.asarray(K1), np.asarray(K0), atol=1e-6)
+    assert np.allclose(np.asarray(d1), np.asarray(d0), atol=1e-6)

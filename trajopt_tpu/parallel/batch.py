@@ -173,14 +173,28 @@ def solve_batch_queued_altro(prob: Problem, opts, x0s, lanes: int = 128,
     from trajopt_tpu.solvers.altro import _penalty_rows, infeasible_problem
 
     dtype = prob.U.dtype
+    n, m = prob.model.n, prob.model.m
     if infeasible is None:
         infeasible = bool(np.all(np.isfinite(jax.device_get(prob.X))))
     prob_t = infeasible_problem(prob, opts.R_inf) if infeasible else prob
     mu0, sca = _penalty_rows(prob_t.constraints, opts, dtype)
-    res = solve_batch_queued(prob_t, opts.opts_al, x0s, lanes=lanes,
+    U0s = None
+    if infeasible:
+        # the transform seeds slacks from the TEMPLATE x0's knot-0 defect
+        # (u_slack[0] = X[1] − f(x0, u0)); re-derive it per lane so each
+        # problem's seed trajectory is dynamically consistent at step 0
+        # (altro_solve rebuilds the transform per problem and gets this
+        # for free)
+        dt0 = prob.dt_traj()[0]
+
+        def lane_U0(x0):
+            s0 = prob.X[1] - prob.model.step(x0, prob.U[0], dt0)
+            return prob_t.U.at[0, m:].set(s0)
+
+        U0s = jax.vmap(lane_U0)(x0s)
+    res = solve_batch_queued(prob_t, opts.opts_al, x0s, lanes=lanes, U0s=U0s,
                              constraint_tolerance=constraint_tolerance,
                              mu_init=mu0[None, :], penalty_scaling=sca)
-    n, m = prob.model.n, prob.model.m
     Xs, Us = res.X[:, :, :n], res.U[:, :, :m]
     C = jax.vmap(lambda X_, U_: prob.constraints.evaluate(X_, U_))(Xs, Us)
     c_max = jax.vmap(prob.constraints.max_violation)(C)

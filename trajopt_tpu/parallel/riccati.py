@@ -74,6 +74,17 @@ def _tria(X):
     return R.T
 
 
+def _chol_psd(M, dtype):
+    """Cholesky of a symmetric PSD matrix: a scale-aware jitter keeps the
+    factorization defined for merely-PSD inputs (zero stage cost weight on
+    a state/control is a completely standard setup — e.g. Q = diag(1,1,0) —
+    and plain cholesky returns NaN there, poisoning the whole scan)."""
+    eps = jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-12, dtype)
+    k = M.shape[-1]
+    scale = 1.0 + jnp.max(jnp.abs(jnp.diagonal(M)))
+    return jnp.linalg.cholesky(M + (eps * scale) * jnp.eye(k, dtype=dtype))
+
+
 def _combine(e1, e2):
     """Associative combination of conditional value-function elements in
     square-root form. e1 spans [i, k), e2 spans [k, j) (e1 earlier in time).
@@ -126,7 +137,7 @@ def _stage_elements(A, B, exp: Expansion, rho):
         Quu = luu + rho * eye_m
         joint = jnp.block([[Quu, lux], [lux.T, lxx]])
         joint = 0.5 * (joint + joint.T)
-        Lj = jnp.linalg.cholesky(joint)
+        Lj = _chol_psd(joint, joint.dtype)
         Luu = Lj[:m, :m]
         Z = Lj[m:, m:]                                 # J = Z Zᵀ
 
@@ -134,9 +145,15 @@ def _stage_elements(A, B, exp: Expansion, rho):
             Luu, solve_triangular(Luu, lux, lower=True), lower=True,
             trans="T")                                 # Quu⁻¹ lux
         Abar = A_k - B_k @ Ki
-        # U = B Luu⁻ᵀ, zero-padded to n×n so element shapes are uniform
-        U = solve_triangular(Luu, B_k.T, lower=True).T
-        U = jnp.concatenate([U, jnp.zeros((n, n - m), U.dtype)], axis=1)
+        # U with U Uᵀ = B Quu⁻¹ Bᵀ, made n×n so element shapes are uniform:
+        # zero-pad when m < n; re-triangularize (rank ≤ n anyway) when the
+        # control dim is ≥ n (over-actuated models, ALTRO's slack-augmented
+        # m = m₀+n)
+        U = solve_triangular(Luu, B_k.T, lower=True).T   # (n, m)
+        if m < n:
+            U = jnp.concatenate([U, jnp.zeros((n, n - m), U.dtype)], axis=1)
+        else:
+            U = _tria(U)
         return (Abar, U, Z)
 
     return jax.vmap(make)(A, B, exp.xx[:-1], exp.uu, exp.ux)
@@ -145,9 +162,8 @@ def _stage_elements(A, B, exp: Expansion, rho):
 def _terminal_element(exp: Expansion, n, dtype):
     """Pure state cost at knot N: Z_N Z_Nᵀ = lxx_N (tiny jitter keeps the
     Cholesky defined for merely PSD terminal Hessians)."""
-    eps = jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-12, dtype)
     lxxN = 0.5 * (exp.xx[-1] + exp.xx[-1].T)
-    ZN = jnp.linalg.cholesky(lxxN + eps * jnp.eye(n, dtype=dtype))
+    ZN = _chol_psd(lxxN, dtype)
     return (jnp.zeros((n, n), dtype), jnp.zeros((n, n), dtype), ZN)
 
 
@@ -175,7 +191,7 @@ def _knot_gains_K(A_k, B_k, luu, lux, lxx, Z1, rho, dtype):
         [luu + rho * jnp.eye(m, dtype=dtype), lux],
         [lux.T, lxx]])
     joint = 0.5 * (joint + joint.T)
-    Mstage = jnp.linalg.cholesky(joint).T              # upper, cols [u, x]
+    Mstage = _chol_psd(joint, dtype).T                 # upper, cols [u, x]
     BA = jnp.concatenate([B_k, A_k], axis=1)           # (n, m+n)
     R = jnp.linalg.qr(
         jnp.concatenate([Mstage, Z1.T @ BA], axis=0), mode="r")

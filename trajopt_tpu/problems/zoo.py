@@ -110,15 +110,19 @@ def parallel_park(dtype=jnp.float64):
                    N=N, dt=0.06, U0=np.ones((N - 1, m)), dtype=dtype)
 
 
+# shared with examples/visualize.py (reference problems/car_3obs.jl:12-20)
+CAR_3OBS_CIRCLES = [(0.25, 0.25, 0.1), (0.5, 0.5, 0.1), (0.75, 0.75, 0.1)]
+
+
 def car_3obs(dtype=jnp.float64):
     """(reference problems/car_3obs.jl): 3 circular obstacles on the diagonal."""
     model_d = discretize(dynamics.car, "rk3")
     n, m, N = 3, 2, 101
     xf = np.array([1.0, 1.0, 0.0])
     obj = LQRObjective(np.eye(n), np.eye(m) * 1e-1, np.eye(n) * 100.0, xf, N)
-    circles = [(0.25, 0.25, 0.1), (0.5, 0.5, 0.1), (0.75, 0.75, 0.1)]
     cons = ConstraintSetBuilder(N)
-    cons.add(obstacle_field_constraint(circles, label="obs"), knots=range(1, N - 1))
+    cons.add(obstacle_field_constraint(CAR_3OBS_CIRCLES, label="obs"),
+             knots=range(1, N - 1))
     cons.add(goal_constraint(xf))
     return problem(model_d, obj, constraints=cons, x0=np.zeros(n), xf=xf,
                    N=N, dt=0.05, U0=np.full((N - 1, m), 0.01), dtype=dtype)

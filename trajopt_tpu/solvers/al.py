@@ -226,7 +226,8 @@ def al_lane_stepper(prob: Problem, opts: ALOptions, constraint_tolerance=None,
             # solve converged by its own dJ/grad rules rather than being
             # cut by the round boundary
             converged = converged & res.converged
-        if opts.kickout_max_penalty:
+        if opts.kickout_max_penalty and not unconstrained:
+            # (P=0 guard: jnp.max of the zero-size (N, 0) mu has no identity)
             converged = converged | (jnp.max(mu) >= opts.penalty_max)
         return ALLaneState(
             x0=st.x0, X=res.X, U=res.U, lam=lam, mu=mu, c_max=c_max_new,

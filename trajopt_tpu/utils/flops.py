@@ -89,8 +89,12 @@ def ilqr_iteration_flops(N: int, n: int, m: int,
 PEAK_FLOPS = {
     "TPU v5 lite": 197e12,     # bf16
     "TPU v5e": 197e12,         # bf16
+    "TPU v5p": 459e12,         # bf16
     "TPU v4": 275e12,          # bf16
+    "TPU v3": 123e12,          # bf16
+    "TPU v2": 46e12,           # bf16
     "TPU v6 lite": 918e12,     # bf16
+    "TPU v6e": 918e12,         # bf16
     "cpu": 1e11,
 }
 
