@@ -103,3 +103,25 @@ def test_all_zoo_problems_build():
     for name, ctor in probs.PROBLEMS.items():
         p = ctor()
         assert p.N >= 2 and p.U.shape == (p.N - 1, p.m), name
+
+
+def test_rigidbody_dynamics_has_no_dot_general():
+    """The spatial-algebra products must stay on the VPU: as dot_general
+    they lower to MXU matmuls that pad 6x6 tiles and pay the 6-pass bf16
+    'highest'-precision multiplier (measured 19.5 -> 2.6 ms per kuka
+    trajectory-Jacobian batch at B=128). Guard the mul+sum formulation
+    (models/rigidbody.py _mm/_mv/_vdot) against regressions."""
+    import jax
+    import jax.numpy as jnp
+
+    from trajopt_tpu.models.robots import kuka_model
+
+    m = kuka_model()
+    x = jnp.zeros(14)
+    u = jnp.zeros(7)
+    for fn in (lambda: jax.make_jaxpr(m)(x, u),
+               lambda: jax.make_jaxpr(lambda x, u: m.jacobian(x, u))(x, u)):
+        jaxpr = fn()
+        assert "dot_general" not in str(jaxpr), (
+            "rigid-body dynamics lowered to dot_general (MXU) — keep the "
+            "spatial algebra on broadcast mul+sum (VPU)")

@@ -130,12 +130,33 @@ def _skew(v):
     ])
 
 
+# The spatial-algebra products are 6×6/6-vector shapes: as dot_general they
+# lower to MXU matmuls, which (a) pad tiny tiles and (b) under the solver's
+# 'highest' f32 precision cost 6 bf16 passes each — measured as the dominant
+# term of the kuka trajectory Jacobians (19.5 ms/iter at B=128). Broadcast
+# multiply + sum lowers to VPU elementwise ops in genuine f32 instead: exact
+# and faster (same trick as the error-state projection, BENCH_LOCAL.md).
+
+def _mm(A, B):
+    """A @ B for small matrices without dot_general (VPU, exact f32)."""
+    return (A[..., :, :, None] * B[..., None, :, :]).sum(-2)
+
+
+def _mv(A, v):
+    """A @ v for small matrices without dot_general (VPU, exact f32)."""
+    return (A * v[..., None, :]).sum(-1)
+
+
+def _vdot(a, b):
+    return (a * b).sum(-1)
+
+
 def _X_from(E, r):
     """Spatial motion transform: child-frame = X · parent-frame, where the
     child frame sits at position r (parent coords) with rotation E (child ←
     parent). Featherstone eq. 2.24-2.27."""
     top = jnp.concatenate([E, jnp.zeros_like(E)], axis=1)
-    bot = jnp.concatenate([-E @ _skew(r), E], axis=1)
+    bot = jnp.concatenate([-_mm(E, _skew(r)), E], axis=1)
     return jnp.concatenate([top, bot], axis=0)
 
 
@@ -157,7 +178,7 @@ def _axis_rotation(axis, q):
     axis = jnp.asarray(axis)
     K = _skew(axis)
     eye = jnp.eye(3, dtype=q.dtype)
-    return eye + jnp.sin(q) * K + (1.0 - jnp.cos(q)) * (K @ K)
+    return eye + jnp.sin(q) * K + (1.0 - jnp.cos(q)) * _mm(K, K)
 
 
 class RigidBodyChain:
@@ -223,7 +244,7 @@ class RigidBodyChain:
         else:  # fixed
             XJ = jnp.eye(6, dtype=dtype)
             S = jnp.zeros(6, dtype)
-        return XJ @ Xtree, S
+        return _mm(XJ, Xtree), S
 
     def _sweep(self, q):
         """Transforms/subspaces along the chain with fixed joints folded in.
@@ -247,16 +268,16 @@ class RigidBodyChain:
             if j.jtype == "fixed":
                 Et = jnp.asarray(self._Et[j.name], dtype)
                 pt = jnp.asarray(self._pt[j.name], dtype)
-                Xf = _X_from(Et, pt) @ Xp
+                Xf = _mm(_X_from(Et, pt), Xp)
                 frame_of[j.child] = (p_idx, Xf)
                 # fold child inertia into the frame it's attached to
                 Ic = jnp.asarray(self._I[j.child], dtype)
                 I_acc[p_idx] = I_acc.get(p_idx, jnp.zeros((6, 6), dtype)) \
-                    + Xf.T @ Ic @ Xf
+                    + _mm(Xf.T, _mm(Ic, Xf))
             else:
                 k = qi
                 XJt, S = self._joint_X_S(j, q[k])
-                Xup.append(XJt @ Xp)
+                Xup.append(_mm(XJt, Xp))
                 Ss.append(S)
                 parents.append(p_idx)
                 frame_of[j.child] = (k, jnp.eye(6, dtype=dtype))
@@ -273,14 +294,14 @@ class RigidBodyChain:
         H = [[None] * nd for _ in range(nd)]
         for i in range(nd - 1, -1, -1):
             if parent[i] >= 0:
-                Ic[parent[i]] = Ic[parent[i]] + Xup[i].T @ Ic[i] @ Xup[i]
-            F = Ic[i] @ S[i]
-            H[i][i] = S[i] @ F
+                Ic[parent[i]] = Ic[parent[i]] + _mm(Xup[i].T, _mm(Ic[i], Xup[i]))
+            F = _mv(Ic[i], S[i])
+            H[i][i] = _vdot(S[i], F)
             jidx = i
             while parent[jidx] >= 0:
-                F = Xup[jidx].T @ F
+                F = _mv(Xup[jidx].T, F)
                 jidx = parent[jidx]
-                H[i][jidx] = S[jidx] @ F
+                H[i][jidx] = _vdot(S[jidx], F)
                 H[jidx][i] = H[i][jidx]
         return jnp.stack([jnp.stack([H[i][j] for j in range(nd)])
                           for i in range(nd)])
@@ -297,17 +318,17 @@ class RigidBodyChain:
         for i in range(nd):
             vJ = S[i] * qd[i]
             if parent[i] >= 0:
-                v[i] = Xup[i] @ v[parent[i]] + vJ
-                a[i] = Xup[i] @ a[parent[i]] + _crm(v[i]) @ vJ
+                v[i] = _mv(Xup[i], v[parent[i]]) + vJ
+                a[i] = _mv(Xup[i], a[parent[i]]) + _mv(_crm(v[i]), vJ)
             else:
                 v[i] = vJ
-                a[i] = Xup[i] @ a_grav + _crm(v[i]) @ vJ
-            f[i] = I[i] @ a[i] + _crf(v[i]) @ (I[i] @ v[i])
+                a[i] = _mv(Xup[i], a_grav) + _mv(_crm(v[i]), vJ)
+            f[i] = _mv(I[i], a[i]) + _mv(_crf(v[i]), _mv(I[i], v[i]))
         tau = [None] * nd
         for i in range(nd - 1, -1, -1):
-            tau[i] = S[i] @ f[i]
+            tau[i] = _vdot(S[i], f[i])
             if parent[i] >= 0:
-                f[parent[i]] = f[parent[i]] + Xup[i].T @ f[i]
+                f[parent[i]] = f[parent[i]] + _mv(Xup[i].T, f[i])
         return jnp.stack(tau)
 
     def forward_kinematics(self, q, point=None, dtype=None,
@@ -327,22 +348,22 @@ class RigidBodyChain:
         # accumulate world->link transforms; invert to get link origins
         Xw = [None] * self.ndof
         for i in range(self.ndof):
-            Xw[i] = Xup[i] if parent[i] < 0 else Xup[i] @ Xw[parent[i]]
+            Xw[i] = Xup[i] if parent[i] < 0 else _mm(Xup[i], Xw[parent[i]])
         origins = []
         axes = []
         for i in range(self.ndof):
             E = Xw[i][:3, :3]          # link ← world rotation
             mEr = Xw[i][3:, :3]        # = −E·skew(r)
-            r_skew = -E.T @ mEr
+            r_skew = -_mm(E.T, mEr)
             r = jnp.stack([r_skew[2, 1], r_skew[0, 2], r_skew[1, 0]])
             origins.append(r)
             if return_axes:
-                axes.append(E.T @ S[i][:3])    # joint axis in world frame
+                axes.append(_mv(E.T, S[i][:3]))  # joint axis in world frame
         out = jnp.stack(origins)
         extras = []
         if point is not None:
             E = Xw[-1][:3, :3]
-            extras.append(origins[-1] + E.T @ jnp.asarray(point, dtype))
+            extras.append(origins[-1] + _mv(E.T, jnp.asarray(point, dtype)))
         if return_axes:
             extras.append(jnp.stack(axes))
         if extras:
@@ -365,17 +386,17 @@ class RigidBodyChain:
             vJ = S[i] * qd[i]
             aJ = S[i] * qdd[i]
             if parent[i] >= 0:
-                v[i] = Xup[i] @ v[parent[i]] + vJ
-                a[i] = Xup[i] @ a[parent[i]] + aJ + _crm(v[i]) @ vJ
+                v[i] = _mv(Xup[i], v[parent[i]]) + vJ
+                a[i] = _mv(Xup[i], a[parent[i]]) + aJ + _mv(_crm(v[i]), vJ)
             else:
                 v[i] = vJ
-                a[i] = Xup[i] @ a_grav + aJ + _crm(v[i]) @ vJ
-            f[i] = I[i] @ a[i] + _crf(v[i]) @ (I[i] @ v[i])
+                a[i] = _mv(Xup[i], a_grav) + aJ + _mv(_crm(v[i]), vJ)
+            f[i] = _mv(I[i], a[i]) + _mv(_crf(v[i]), _mv(I[i], v[i]))
         tau = [None] * nd
         for i in range(nd - 1, -1, -1):
-            tau[i] = S[i] @ f[i]
+            tau[i] = _vdot(S[i], f[i])
             if parent[i] >= 0:
-                f[parent[i]] = f[parent[i]] + Xup[i].T @ f[i]
+                f[parent[i]] = f[parent[i]] + _mv(Xup[i].T, f[i])
         return jnp.stack(tau)
 
     def dynamics(self, x, u, B=None, gravity=9.81, use_damping=True):
@@ -389,7 +410,7 @@ class RigidBodyChain:
         q, qd = x[:nd], x[nd:]
         H = self.mass_matrix(q)
         bias = self.bias_forces(q, qd, gravity)
-        tau = u if B is None else jnp.asarray(B, x.dtype) @ u
+        tau = u if B is None else _mv(jnp.asarray(B, x.dtype), u)
         rhs = tau - bias
         if use_damping:
             damping = jnp.asarray([j.damping for j in self.moving], x.dtype)
@@ -424,10 +445,12 @@ def make_chain_dynamics(chain: "RigidBodyChain", B=None, gravity: float = 9.81,
     damping = np.asarray([j.damping for j in chain.moving], np.float64)
 
     def _prec():
-        # ``matmul_precision`` scopes ONLY the spatial-algebra 6×6 products
-        # (an inner context overrides the solver-level 'highest'): on TPU
-        # each f32 matmul pass is emulated in bf16, and 'highest' costs 6
-        # passes — the dominant term of the kuka trajectory Jacobians.
+        # ``matmul_precision`` is retained for API stability but is now
+        # largely moot: the spatial-algebra products are broadcast mul+sum
+        # (VPU, exact f32 — see _mm/_mv above), not dot_general, so no
+        # matmul precision applies to them (measured 19.5 → 2.6 ms per
+        # kuka trajectory-Jacobian batch at B=128 vs the former 'highest'
+        # 6-pass MXU lowering).
         if matmul_precision is None:
             return contextlib.nullcontext()
         return jax.default_matmul_precision(matmul_precision)
@@ -455,19 +478,19 @@ def make_chain_dynamics(chain: "RigidBodyChain", B=None, gravity: float = 9.81,
         # (eliminating an augmented [H | drhs] would entangle the pivots
         # with the tangents and break reverse-mode through the JVP)
         Hinv, _ = posdef_solve(H, jnp.eye(nd, dtype=x.dtype))
-        tau = u if B is None else jnp.asarray(B, q.dtype) @ u
+        tau = u if B is None else _mv(jnp.asarray(B, q.dtype), u)
         rhs = tau - chain.bias_forces(q, qd, gravity)
         if use_damping:
             rhs = rhs - jnp.asarray(damping, q.dtype) * qd
-        qdd = Hinv @ rhs
+        qdd = _mv(Hinv, rhs)
         _, dID = jax.jvp(
             lambda q_, qd_: chain.inverse_dynamics(q_, qd_, qdd, gravity),
             (q, qd), (dq, dqd))
-        dtau = du if B is None else jnp.asarray(B, q.dtype) @ du
+        dtau = du if B is None else _mv(jnp.asarray(B, q.dtype), du)
         drhs = dtau - dID
         if use_damping:
             drhs = drhs - jnp.asarray(damping, q.dtype) * dqd
-        dqdd = Hinv @ drhs
+        dqdd = _mv(Hinv, drhs)
         return (jnp.concatenate([qd, qdd]),
                 jnp.concatenate([dqd, dqdd]))
 

@@ -77,31 +77,38 @@ def _t(A):
 
 
 def _posdef_solve_lanes(S, rhs):
-    """Unrolled PD elimination, lane-batched: S (m, m, B), rhs (m, k, B).
+    """Blocked PD elimination, lane-batched: S (m, m, B), rhs (m, k, B).
 
-    Returns (X (m, k, B), fail (1, B)). Mirrors solvers.ilqr.posdef_solve.
-    Mosaic constraints shape the implementation: no sublane concatenate
-    (S and rhs rows are eliminated side by side), no 1D lane-only values
-    (pivots stay (1, B)).
+    Returns (X (m, k, B), fail (1, B)). Mirrors solvers.ilqr.posdef_solve
+    semantics (same per-element arithmetic/order), but each pivot applies
+    ONE masked full-matrix rank-1 update instead of m−i row updates: the
+    kernel is instruction-issue-bound at maze shapes (m=17; unrolls and
+    tree reductions measured no gain), so ~8 large vector ops per pivot
+    beat ~3(m−i) tiny (1, B)-row ops. Static 0/1 row masks keep shapes
+    fixed; masked-off rows compute f=0 and are untouched.
     """
-    m = S.shape[0]
-    Sr = [S[i] for i in range(m)]
-    Rr = [rhs[i] for i in range(m)]
-    fail = jnp.zeros((1, S.shape[-1]), dtype=jnp.bool_)
+    m, B = S.shape[0], S.shape[-1]
+    dtype = S.dtype
+    fail = jnp.zeros((1, B), dtype=jnp.bool_)
+    # (m,1,1) row-index masks from iota (Pallas kernels cannot capture
+    # array constants; Mosaic also rejects the mid-dim squeeze's shape
+    # cast, so slices stay 3D throughout)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1, 1), 0)
     for i in range(m):
-        piv = Sr[i][i:i + 1]                   # (1, B)
+        piv = S[i, i:i + 1]                                # (1, B)
         fail = fail | (piv <= 0.0) | ~jnp.isfinite(piv)
         inv = 1.0 / piv
-        for j in range(i + 1, m):
-            f = Sr[j][i:i + 1] * inv
-            Sr[j] = Sr[j] - f * Sr[i]
-            Rr[j] = Rr[j] - f * Rr[i]
+        below = (rows > i).astype(dtype)
+        f = S[:, i:i + 1, :] * inv * below                 # (m, 1, B)
+        S = S - f * S[i][None, :, :]
+        rhs = rhs - f * rhs[i][None, :, :]
     for i in range(m - 1, -1, -1):
-        r = Rr[i]
-        for j in range(i + 1, m):
-            r = r - Sr[i][j:j + 1] * Rr[j]
-        Rr[i] = r / Sr[i][i:i + 1]
-    return jnp.stack(Rr), fail
+        r_i = (rhs[i] / S[i, i:i + 1])[None, :, :]         # (1, k, B)
+        above = (rows < i).astype(dtype)
+        onehot = (rows == i).astype(dtype)
+        rhs = rhs - above * S[:, i:i + 1, :] * r_i
+        rhs = rhs * (1.0 - onehot) + onehot * r_i
+    return rhs, fail
 
 
 # ----------------------------------------------------------------- kernel
