@@ -80,6 +80,36 @@ def run(N: int, B: int):
 
     t_seq = bench(seq, Ab, Bb, expb, rho, drho)
     t_par = bench(par, Ab, Bb, expb)
+
+    # sequence-parallel (tp) leg: the SAME sweep with the time axis sharded
+    # over all available devices (parallel/riccati.time_sharded_backward_pass
+    # — what iLQROptions(bp_type='parallel', tp_mesh=mesh) runs inside the
+    # solver). Single problem (tp shards time, not the batch).
+    tp = {}
+    n_dev = len(jax.devices())
+    if n_dev > 1 and (N - 1) % n_dev == 0:
+        from jax.sharding import Mesh
+        from trajopt_tpu.parallel.riccati import time_sharded_backward_pass
+
+        mesh = Mesh(np.array(jax.devices()), ("tp",))
+        tp_sweep = jax.jit(
+            lambda a, b, e: time_sharded_backward_pass(a, b, e, 0.0, mesh))
+        par1 = jax.jit(lambda a, b, e: parallel_backward_pass(a, b, e, 0.0))
+        r_tp = tp_sweep(A, Bm, exp)
+        jax.block_until_ready(r_tp[0])
+        r_p1 = par1(A, Bm, exp)
+        jax.block_until_ready(r_p1[0])
+        k_tp = float(jnp.max(jnp.abs(r_tp[0] - r_p1[0]))
+                     / jnp.max(jnp.abs(r_p1[0])))
+        tp = {
+            "tp_devices": n_dev,
+            "tp_sharded_ms": round(bench(tp_sweep, A, Bm, exp), 2),
+            "tp_single_device_ms": round(bench(par1, A, Bm, exp), 2),
+            "tp_K_rel_diff": round(k_tp, 8),
+        }
+        tp["tp_speedup"] = round(
+            tp["tp_single_device_ms"] / tp["tp_sharded_ms"], 2)
+
     print(json.dumps({
         "N": N, "batch": B,
         "sequential_ms": round(t_seq, 2),
@@ -87,6 +117,7 @@ def run(N: int, B: int):
         "speedup": round(t_seq / t_par, 2),
         "K_rel_diff": round(k_rel, 8),
         "device": jax.default_backend(),
+        **tp,
     }))
 
 

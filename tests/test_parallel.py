@@ -320,3 +320,40 @@ def test_parallel_riccati_overactuated_and_psd_stage_cost():
     assert np.all(np.isfinite(np.asarray(K1)))
     assert np.allclose(np.asarray(K1), np.asarray(K0), atol=1e-6)
     assert np.allclose(np.asarray(d1), np.asarray(d0), atol=1e-6)
+
+
+def test_end_to_end_time_sharded_solve():
+    """END-TO-END iLQR/AL solve with the horizon sharded over the 8-device
+    virtual mesh (iLQROptions(bp_type='parallel', tp_mesh=mesh)): every
+    backward pass inside the while_loops runs time-sharded; result must
+    match the single-device solve (SURVEY §5.7, VERDICT r2 item 4)."""
+    from jax.sharding import Mesh
+
+    N = 4097  # N-1 = 4096 divisible by 8
+    n, m = 2, 1
+    model_d = tt.discretize(zoo.pendulum, "rk3")
+    xf = np.array([np.pi, 0.0])
+    obj = tt.LQRObjective(np.eye(n) * 1e-2, np.eye(m) * 1e-1,
+                          np.eye(n) * 100.0, xf, N)
+    prob = tt.problem(model_d, obj, N=N, tf=5.0,
+                      x0=np.zeros(n), xf=xf,
+                      U0=np.full((N - 1, m), 0.1))
+
+    mesh = Mesh(np.array(jax.devices()), ("tp",))
+    opts_tp = tt.ALOptions(opts_uncon=iLQROptions(
+        iterations=12, bp_type="parallel", tp_mesh=mesh))
+    opts_1d = tt.ALOptions(opts_uncon=iLQROptions(
+        iterations=12, bp_type="parallel"))
+
+    res_tp = tt.al_solve(prob, opts_tp)
+    res_1d = tt.al_solve(prob, opts_1d)
+    assert np.all(np.isfinite(np.asarray(res_tp.X)))
+    # same iteration path and matching cost: the tp sweep is algebraically
+    # identical to the single-device scan (f64 here), so the while_loops
+    # must branch identically
+    assert int(res_tp.iterations_total) == int(res_1d.iterations_total)
+    assert float(res_tp.J) == pytest.approx(float(res_1d.J), rel=1e-8)
+    assert np.allclose(np.asarray(res_tp.X), np.asarray(res_1d.X),
+                       atol=1e-6)
+    # and the solve actually works: pendulum swings up
+    assert abs(float(res_tp.X[-1, 0]) - np.pi) < 1e-2

@@ -79,13 +79,20 @@ def _t(A):
 def _posdef_solve_lanes(S, rhs):
     """Blocked PD elimination, lane-batched: S (m, m, B), rhs (m, k, B).
 
-    Returns (X (m, k, B), fail (1, B)). Mirrors solvers.ilqr.posdef_solve
-    semantics (same per-element arithmetic/order), but each pivot applies
-    ONE masked full-matrix rank-1 update instead of m−i row updates: the
-    kernel is instruction-issue-bound at maze shapes (m=17; unrolls and
-    tree reductions measured no gain), so ~8 large vector ops per pivot
-    beat ~3(m−i) tiny (1, B)-row ops. Static 0/1 row masks keep shapes
-    fixed; masked-off rows compute f=0 and are untouched.
+    Returns (X (m, k, B), fail (1, B)). Same SEMANTICS as
+    solvers.ilqr.posdef_solve (f32 rounding may differ: back-substitution
+    is column-oriented, so the per-row subtraction order is reversed vs
+    the scalar reference). Each pivot applies ONE masked full-matrix
+    rank-1 update instead of m−i row updates: the kernel is
+    instruction-issue-bound at maze shapes (m=17; unrolls and tree
+    reductions measured no gain), so ~8 large vector ops per pivot beat
+    ~3(m−i) tiny (1, B)-row ops. Static 0/1 row masks keep shapes fixed.
+
+    CAUTION — failed lanes can be FULLY NaN: when a pivot is 0/non-finite,
+    inf·0 in the masked rank-1 update yields NaN even in rows the mask
+    excludes, contaminating the entire lane. Callers MUST gate the
+    returned solution on the ``fail`` mask (the Riccati kernel zeroes
+    failed lanes via ``jnp.where(fail_k, 0, sol)``).
     """
     m, B = S.shape[0], S.shape[-1]
     dtype = S.dtype

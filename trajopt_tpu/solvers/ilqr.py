@@ -79,6 +79,17 @@ class iLQROptions:
     # _backwardpass_sqrt!, fp32-conditioning friendly). square_root=True is
     # an alias for bp_type='sqrt'.
     bp_type: str = "scan"
+    # sequence (time-axis) parallelism (SURVEY.md §5.7): with
+    # bp_type='parallel' and a jax.sharding.Mesh here, the Riccati sweep of
+    # EVERY backward pass inside ilqr_solve/al_solve runs time-sharded over
+    # ``tp_axis`` via parallel.riccati.time_sharded_backward_pass (local
+    # associative scans + one halo all_gather). Requires (N-1) divisible by
+    # the mesh axis size. The forward-pass rollout stays sequential
+    # (replicated) — it is O(N) with a tiny per-step body, the BP is where
+    # the O(N·(n+m)³) work lives. Mesh is hashable, so it rides along as
+    # static aux data like every other option.
+    tp_mesh: Optional[object] = None
+    tp_axis: str = "tp"
 
 
 class ILQRResult(NamedTuple):
@@ -323,10 +334,20 @@ def _backward_pass_impl(A, B, exp: Expansion, rho, drho, opts: iLQROptions):
         def sweep(rho_val):
             return sqrt_sweep(A, B, exp, rho_val)
     elif opts.bp_type == "parallel":
-        from trajopt_tpu.parallel.riccati import parallel_backward_pass
+        from trajopt_tpu.parallel.riccati import (
+            parallel_backward_pass, time_sharded_backward_pass,
+        )
+
+        if opts.tp_mesh is not None:
+            def _sweep_raw(rho_val):
+                return time_sharded_backward_pass(
+                    A, B, exp, rho_val, opts.tp_mesh, axis=opts.tp_axis)
+        else:
+            def _sweep_raw(rho_val):
+                return parallel_backward_pass(A, B, exp, rho_val)
 
         def sweep(rho_val):
-            K, d, dV1, dV2, _, _ = parallel_backward_pass(A, B, exp, rho_val)
+            K, d, dV1, dV2, _, _ = _sweep_raw(rho_val)
             fail = jnp.any(jnp.isnan(K)) | jnp.any(jnp.isnan(d))
             K = jnp.where(fail, jnp.zeros_like(K), K)
             d = jnp.where(fail, jnp.zeros_like(d), d)
