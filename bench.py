@@ -65,12 +65,16 @@ def bench_ilqr():
         res.X[:B, -1, :3] - jnp.asarray([0.0, 60.0, 10.0], dtype), axis=-1)
     converged = float(jnp.mean((pos_err < 0.5).astype(jnp.float32)))
 
-    reps = 2
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    # median of 3 timed reps: tunnel-attached TPU timings swing ±40% run to
+    # run (BENCH_LOCAL.md); the median is the driver-reproducible figure
+    # the docs quote (VERDICT r2 weak #1)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
         res = solve(x0s)
         jax.block_until_ready(res.X)
-    dt = (time.perf_counter() - t0) / reps
+        ts.append(time.perf_counter() - t0)
+    dt = sorted(ts)[1]
 
     # MFU accounting (VERDICT r1 item 5): analytic model flops per iLQR
     # iteration × measured iterations / wall time vs chip peak
@@ -122,10 +126,15 @@ def bench_maze():
         prob, opts, xs, lanes=128, infeasible=True))
     r = solve(x0s)
     jax.block_until_ready(r.X)
-    t0 = time.perf_counter()
-    r = solve(x0s)
-    jax.block_until_ready(r.X)
-    dt = time.perf_counter() - t0
+    # median of 3 timed reps (same rationale as bench_ilqr: the single-rep
+    # figure swung 131-188 solves/s across driver runs on identical code)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = solve(x0s)
+        jax.block_until_ready(r.X)
+        ts.append(time.perf_counter() - t0)
+    dt = sorted(ts)[1]
 
     # c_max is already scored on the ORIGINAL constraints (slacks stripped)
     cmax = r.c_max
@@ -133,7 +142,7 @@ def bench_maze():
     return B / dt, converged, float(jnp.median(cmax))
 
 
-def _watchdog(seconds=900):
+def _watchdog(seconds=1200):
     """The TPU tunnel occasionally wedges (execution hangs indefinitely);
     guarantee ONE JSON line regardless."""
     import signal

@@ -7,6 +7,7 @@ machine-precision dynamic feasibility with constraints satisfied.
 """
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import trajopt_tpu as tt
 from trajopt_tpu.models import zoo
@@ -54,6 +55,26 @@ def test_dircol_pendulum_swingup():
     assert np.linalg.norm(np.asarray(res.X[-1]) - [np.pi, 0.0]) < 1e-6
     # control bounds respected
     assert float(jnp.max(jnp.abs(res.U_knots))) <= 3.0 + 1e-8
+
+
+def test_dircol_history_trace():
+    """Per-outer-iteration convergence trace (reference caches c_max per
+    NLP iteration in its MOI callback, moi.jl:63-66,118-128): fixed-length
+    arrays, live rows strictly populated, tail rows zero, violation
+    decreasing to the reported final."""
+    prob = probs.pendulum()
+    res = dircol_solve(prob, DIRCOLOptions())
+    it = int(res.iterations)
+    h = {k: np.asarray(v) for k, v in res.history.items()}
+    assert set(h) == {"cost", "viol", "gradient", "iterations_inner"}
+    assert it >= 2
+    assert np.all(h["viol"][:it] > 0)
+    assert np.all(h["viol"][it:] == 0)          # unused rows stay zero
+    assert h["viol"][it - 1] < h["viol"][0]     # converging curve
+    assert np.all(h["iterations_inner"][:it] >= 1)
+    # final trace row consistent with the reported result
+    assert h["viol"][it - 1] == pytest.approx(
+        max(float(res.defect_max), float(res.c_max)), rel=1e-6)
 
 
 def test_dircol_parallel_park():

@@ -72,6 +72,30 @@ class DIRCOLResult(NamedTuple):
     c_max: jnp.ndarray      # problem-constraint violation
     defect_max: jnp.ndarray # collocation defect ∞-norm
     iterations: jnp.ndarray
+    history: dict           # per-outer-iteration trace; see nlp_history
+
+
+def nlp_history(iterations: int, dtype):
+    """Per-outer-iteration convergence trace for the native AL-Newton NLP
+    solvers (the reference caches c_max + per-NLP-iteration timestamps in
+    its MOI callback, moi.jl:63-66,118-128; here the outer AL iteration is
+    the NLP-iteration analog). Arrays are fixed-length (= iterations_outer);
+    rows past ``result.iterations`` stay zero. Plot ``viol``/``cost`` vs
+    index for the convergence curve."""
+    z = jnp.zeros((iterations,), dtype)
+    return {
+        "cost": z, "viol": z, "gradient": z,
+        "iterations_inner": jnp.zeros((iterations,), jnp.int32),
+    }
+
+
+def record_nlp_history(hist, it, J, viol, gnorm, inner):
+    return {
+        "cost": hist["cost"].at[it].set(J),
+        "viol": hist["viol"].at[it].set(viol),
+        "gradient": hist["gradient"].at[it].set(gnorm),
+        "iterations_inner": hist["iterations_inner"].at[it].set(inner),
+    }
 
 
 def hs_defects(f, X, UN, dt):
@@ -301,7 +325,7 @@ def dircol_solve(prob: Problem, opts: DIRCOLOptions = DIRCOLOptions()) -> DIRCOL
             cond, body,
             (Z, jnp.asarray(opts.reg_initial, dtype), jnp.zeros((), jnp.int32),
              jnp.asarray(jnp.inf, dtype)))
-        return Z, it
+        return Z, it, gnorm
 
     Z = jnp.concatenate([X0, U0], axis=1)
     lam_d = jnp.zeros((N, n), dtype)
@@ -310,8 +334,8 @@ def dircol_solve(prob: Problem, opts: DIRCOLOptions = DIRCOLOptions()) -> DIRCOL
     mu_c = jnp.full((N, P), opts.penalty_initial, dtype) * cs.mask
 
     def outer_body(carry):
-        Z, lam_d, mu_d, lam_c, mu_c, it, viol = carry
-        Z, _ = inner_newton(Z, lam_d, mu_d, lam_c, mu_c)
+        Z, lam_d, mu_d, lam_c, mu_c, it, viol, hist = carry
+        Z, inner_it, gnorm = inner_newton(Z, lam_d, mu_d, lam_c, mu_c)
         gd = eq_residuals(Z)
         lam_d = lam_d + mu_d * gd
         mu_d = jnp.minimum(mu_d * opts.penalty_scaling, opts.penalty_max)
@@ -326,16 +350,20 @@ def dircol_solve(prob: Problem, opts: DIRCOLOptions = DIRCOLOptions()) -> DIRCOL
         else:
             cviol = jnp.zeros((), dtype)
         viol = jnp.maximum(jnp.max(jnp.abs(gd)), cviol)
-        return Z, lam_d, mu_d, lam_c, mu_c, it + 1, viol
+        Xc, UNc = split(Z)
+        hist = record_nlp_history(hist, it, hs_cost(prob.obj, f, Xc, UNc, dt),
+                                  viol, gnorm, inner_it)
+        return Z, lam_d, mu_d, lam_c, mu_c, it + 1, viol, hist
 
     def outer_cond(carry):
-        *_, it, viol = carry
+        *_, it, viol, _h = carry
         return (it < opts.iterations_outer) & (viol > opts.feasibility_tolerance)
 
-    Z, lam_d, mu_d, lam_c, mu_c, it, viol = jax.lax.while_loop(
+    Z, lam_d, mu_d, lam_c, mu_c, it, viol, hist = jax.lax.while_loop(
         outer_cond, outer_body,
         (Z, lam_d, mu_d, lam_c, mu_c, jnp.zeros((), jnp.int32),
-         jnp.asarray(jnp.inf, dtype)))
+         jnp.asarray(jnp.inf, dtype),
+         nlp_history(opts.iterations_outer, dtype)))
 
     X, UN = split(Z)
     gd = eq_residuals(Z)
@@ -345,7 +373,7 @@ def dircol_solve(prob: Problem, opts: DIRCOLOptions = DIRCOLOptions()) -> DIRCOL
         J=hs_cost(prob.obj, f, X, UN, dt),
         c_max=cs.max_violation(C) if P else jnp.zeros((), dtype),
         defect_max=jnp.max(jnp.abs(gd)),
-        iterations=it)
+        iterations=it, history=hist)
 
 
 class DIRCOLMTResult(NamedTuple):
@@ -358,6 +386,7 @@ class DIRCOLMTResult(NamedTuple):
     c_max: jnp.ndarray
     defect_max: jnp.ndarray
     iterations: jnp.ndarray
+    history: dict            # per-outer-iteration trace; see nlp_history
 
 
 @precise
@@ -578,11 +607,11 @@ def dircol_mintime_solve(prob: Problem, R_min_time: float = 1.0,
             return (it < opts.iterations_inner) & \
                 (gnorm > opts.gradient_tolerance)
 
-        Z, _, _, _ = jax.lax.while_loop(
+        Z, _, it, gnorm = jax.lax.while_loop(
             cond, body,
             (Z, jnp.asarray(opts.reg_initial, dtype),
              jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype)))
-        return Z
+        return Z, it, gnorm
 
     Z = jnp.concatenate([X0, U0, h0], axis=1)
     lam_d = jnp.zeros((N, rows_d), dtype)
@@ -593,8 +622,9 @@ def dircol_mintime_solve(prob: Problem, R_min_time: float = 1.0,
     mu_h = jnp.full((N, 2), opts.penalty_initial, dtype)
 
     def outer_body(carry):
-        Z, lam_d, mu_d, lam_c, mu_c, lam_h, mu_h, it, viol = carry
-        Z = inner_newton(Z, lam_d, mu_d, lam_c, mu_c, lam_h, mu_h)
+        Z, lam_d, mu_d, lam_c, mu_c, lam_h, mu_h, it, viol, hist = carry
+        Z, inner_it, gnorm = inner_newton(Z, lam_d, mu_d, lam_c, mu_c,
+                                          lam_h, mu_h)
         gd = eq_residuals(Z)
         lam_d = lam_d + mu_d * gd
         mu_d = jnp.minimum(mu_d * opts.penalty_scaling, opts.penalty_max)
@@ -615,17 +645,21 @@ def dircol_mintime_solve(prob: Problem, R_min_time: float = 1.0,
             cviol = jnp.zeros((), dtype)
         viol = jnp.maximum(jnp.maximum(jnp.max(jnp.abs(gd)), cviol),
                            h_bound_viol(Z))
-        return Z, lam_d, mu_d, lam_c, mu_c, lam_h, mu_h, it + 1, viol
+        hist = record_nlp_history(hist, it, objective(Z), viol, gnorm,
+                                  inner_it)
+        return Z, lam_d, mu_d, lam_c, mu_c, lam_h, mu_h, it + 1, viol, hist
 
     def outer_cond(carry):
-        *_, it, viol = carry
+        *_, it, viol, _h = carry
         return (it < opts.iterations_outer) & \
             (viol > opts.feasibility_tolerance)
 
-    Z, lam_d, mu_d, lam_c, mu_c, lam_h, mu_h, it, viol = jax.lax.while_loop(
+    (Z, lam_d, mu_d, lam_c, mu_c, lam_h, mu_h, it, viol,
+     hist) = jax.lax.while_loop(
         outer_cond, outer_body,
         (Z, lam_d, mu_d, lam_c, mu_c, lam_h, mu_h,
-         jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype)))
+         jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype),
+         nlp_history(opts.iterations_outer, dtype)))
 
     X, UN, h = split(Z)
     gd = eq_residuals(Z)
@@ -635,4 +669,4 @@ def dircol_mintime_solve(prob: Problem, R_min_time: float = 1.0,
         J=objective(Z),
         c_max=cs.max_violation(C) if P else jnp.zeros((), dtype),
         defect_max=jnp.max(jnp.abs(gd[:, :n])),
-        iterations=it)
+        iterations=it, history=hist)

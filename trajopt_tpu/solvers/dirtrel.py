@@ -35,7 +35,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from trajopt_tpu.problem import Problem
-from trajopt_tpu.solvers.dircol import DIRCOLOptions, hs_cost, hs_defects
+from trajopt_tpu.solvers.dircol import (
+    DIRCOLOptions, hs_cost, hs_defects, nlp_history, record_nlp_history,
+)
 from trajopt_tpu.solvers.projected_newton import (
     block_tridiag_cholesky, block_tridiag_solve,
 )
@@ -87,6 +89,7 @@ class DIRTRELResult(NamedTuple):
     defect_max: jnp.ndarray
     c_max: jnp.ndarray
     iterations: jnp.ndarray
+    history: dict           # per-outer-iteration trace; see dircol.nlp_history
 
 
 def _discretize_uncertain(f, integrator="rk3"):
@@ -359,11 +362,11 @@ def dirtrel_solve(prob: Problem, spec: RobustSpec,
             return (it < opts.iterations_inner) & \
                 (gnorm > opts.gradient_tolerance)
 
-        Z, _, _, _ = jax.lax.while_loop(
+        Z, _, it, gnorm = jax.lax.while_loop(
             cond, body,
             (Z, jnp.asarray(opts.reg_initial, dtype),
              jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype)))
-        return Z
+        return Z, it, gnorm
 
     Z = jnp.concatenate([X0, U0], axis=1)
     lam_d = jnp.zeros((N, n), dtype)
@@ -372,7 +375,7 @@ def dirtrel_solve(prob: Problem, spec: RobustSpec,
     mu_c = jnp.full((N, P), opts.penalty_initial, dtype) * cs.mask
 
     def outer_body(carry):
-        Z, lam_d, mu_d, lam_c, mu_c, it, viol = carry
+        Z, lam_d, mu_d, lam_c, mu_c, it, viol, hist = carry
         # freeze the robust vertices from the current iterate (reference
         # gen_δx/gen_δu eig-padded square roots, dirtrel.jl:310-420)
         _, (E, K) = robust_terms(Z)
@@ -380,7 +383,8 @@ def dirtrel_solve(prob: Problem, spec: RobustSpec,
         KEK = jnp.einsum("kin,knl,kjl->kij", K, E[:-1], K)
         dUcols = psd_sqrt(KEK, opts.eig_pad)                     # (N-1, m, m)
 
-        Z = inner_newton(Z, lam_d, mu_d, lam_c, mu_c, dXcols, dUcols)
+        Z, inner_it, gnorm = inner_newton(Z, lam_d, mu_d, lam_c, mu_c,
+                                          dXcols, dUcols)
         gd = eq_residuals(Z)
         lam_d = lam_d + mu_d * gd
         mu_d = jnp.minimum(mu_d * opts.penalty_scaling, opts.penalty_max)
@@ -395,17 +399,24 @@ def dirtrel_solve(prob: Problem, spec: RobustSpec,
         else:
             cviol = jnp.zeros((), dtype)
         viol = jnp.maximum(jnp.max(jnp.abs(gd)), cviol)
-        return Z, lam_d, mu_d, lam_c, mu_c, it + 1, viol
+        # trace the merit the NLP minimizes: nominal HS cost + robust cost
+        Xc, UNc = split(Z)
+        lE_c, _ = robust_terms(Z)
+        hist = record_nlp_history(
+            hist, it, hs_cost(prob.obj, f_nom, Xc, UNc, dt) + lE_c,
+            viol, gnorm, inner_it)
+        return Z, lam_d, mu_d, lam_c, mu_c, it + 1, viol, hist
 
     def outer_cond(carry):
-        *_, it, viol = carry
+        *_, it, viol, _h = carry
         return (it < opts.iterations_outer) & \
             (viol > opts.feasibility_tolerance)
 
-    Z, lam_d, mu_d, lam_c, mu_c, it, viol = jax.lax.while_loop(
+    Z, lam_d, mu_d, lam_c, mu_c, it, viol, hist = jax.lax.while_loop(
         outer_cond, outer_body,
         (Z, lam_d, mu_d, lam_c, mu_c, jnp.zeros((), jnp.int32),
-         jnp.asarray(jnp.inf, dtype)))
+         jnp.asarray(jnp.inf, dtype),
+         nlp_history(opts.iterations_outer, dtype)))
 
     X, UN = split(Z)
     lE, (E, K) = robust_terms(Z)
@@ -416,4 +427,4 @@ def dirtrel_solve(prob: Problem, spec: RobustSpec,
         J=hs_cost(prob.obj, f_nom, X, UN, dt), J_robust=lE, E=E, K=K,
         defect_max=jnp.max(jnp.abs(gd)),
         c_max=cs.max_violation(C) if P else jnp.zeros((), dtype),
-        iterations=it)
+        iterations=it, history=hist)
