@@ -269,7 +269,8 @@ def al_solve(
         res = ilqr_solve(prob.model, cost_fn, expansion_fn, prob.x0, prob.X,
                          prob.U, dt_traj, opts.opts_uncon,
                          cost_tol=opts.cost_tolerance,
-                         grad_tol=opts.gradient_norm_tolerance)
+                         grad_tol=opts.gradient_norm_tolerance,
+                         objective=prob.obj)
         zp = jnp.zeros((prob.N, 0), dtype)
         hist = _empty_history(1, dtype)
         hist = _record_history(hist, 0, res.J, jnp.zeros((), dtype),

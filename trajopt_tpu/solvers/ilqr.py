@@ -563,6 +563,178 @@ def gradient_todorov(d, U):
     return jnp.mean(maxes)
 
 
+# --------------------------------------------------- fused-iteration path
+#
+# When the solve carries Objective METADATA (a plain quadratic objective —
+# al_solve's unconstrained path passes it) and the model ships a lane-step,
+# batched TPU solves run the whole iteration as TWO fused Pallas programs
+# (ops/pallas_fused.py): jacobians + expansion + Riccati in one, the entire
+# line search (rollout + cost, per-lane α state) in the other. A, B and the
+# expansion stacks never touch HBM. The unbatched/CPU fallback inside the
+# custom_vmap rules reproduces the existing scan semantics exactly.
+
+def _fused_eligible(model, opts: iLQROptions, objective):
+    return (objective is not None
+            and getattr(model, "step_lanes", None) is not None
+            and opts.bp_type == "scan"
+            and not opts.square_root
+            and not opts.error_state
+            and opts.max_state_value == 1e8
+            and opts.max_control_value == 1e8)
+
+
+def _fused_bp_tile_bytes(N, n, m):
+    """Per-128-lane-tile VMEM bytes of the fused backward kernel (X, U, K,
+    d, dV, fail + Sx/Sxx/acc scratch; objective arrays are laneless)."""
+    return 4 * 128 * (N * n + (N - 1) * (m + m * n + m)
+                      + n + n * n + 6)
+
+
+def _fused_fp_tile_bytes(N, n, m):
+    """Per-tile VMEM bytes of the fused forward kernel (X in/out + scratch
+    candidate, U ×3, K, d, x0 + lane scalars)."""
+    return 4 * 128 * (3 * N * n + 3 * (N - 1) * m + (N - 1) * m * n
+                      + n + 16)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_bp_dispatch(model, opts: iLQROptions):
+    from jax.custom_batching import custom_vmap
+
+    from trajopt_tpu.ops.cost import cost_expansion
+
+    def _impl(X, U, dt_traj, obj, rho, drho):
+        A, B = model.jacobian_traj(X[:-1], U, dt_traj)
+        exp = cost_expansion(obj, X, U, dt_traj)
+        return _backward_pass_impl(A, B, exp, rho, drho, opts)
+
+    @custom_vmap
+    def fbp(X, U, dt_traj, obj, rho, drho):
+        return _impl(X, U, dt_traj, obj, rho, drho)
+
+    @fbp.def_vmap
+    def _rule(axis_size, in_batched, X, U, dt_traj, obj, rho, drho):
+        def bc(v, b):
+            return v if b else jnp.broadcast_to(
+                v, (axis_size,) + jnp.shape(v))
+
+        Xb = bc(X, in_batched[0])
+        Ub = bc(U, in_batched[1])
+        rhob = bc(rho, in_batched[4])
+        drhob = bc(drho, in_batched[5])
+        obj_batched = any(jax.tree_util.tree_leaves(in_batched[3]))
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and axis_size % 128 == 0
+            and Xb.dtype == jnp.float32
+            and not in_batched[2]          # shared dt trajectory
+            and not obj_batched            # shared objective
+            and _fused_bp_tile_bytes(Xb.shape[1], Xb.shape[-1],
+                                     Ub.shape[-1]) < _PALLAS_VMEM_BUDGET
+        )
+        if use_pallas:
+            from trajopt_tpu.ops.pallas_fused import fused_backward_pallas
+
+            reg_state = opts.bp_reg_type == "state"
+
+            def sweep(rho_v):
+                return fused_backward_pallas(
+                    model.step_lanes, Xb, Ub, dt_traj, obj, rho_v,
+                    reg_state=reg_state)
+
+            K0, d0, v1, v2, fail0 = sweep(rhob)
+
+            def cond(st):
+                *_, fail, _r, _dr, att = st
+                return jnp.any(fail) & (att < opts.bp_max_attempts)
+
+            def body(st):
+                K, d, v1, v2, fail, rho_c, drho_c, att = st
+                rho_i, drho_i = reg_increase(rho_c, drho_c, opts)
+                rho_c = jnp.where(fail, rho_i, rho_c)
+                drho_c = jnp.where(fail, drho_i, drho_c)
+                K, d, v1, v2, fail = sweep(rho_c)
+                return (K, d, v1, v2, fail, rho_c, drho_c, att + 1)
+
+            K, d, v1, v2, fail, rhob, drhob, _ = jax.lax.while_loop(
+                cond, body, (K0, d0, v1, v2, fail0, rhob, drhob,
+                             jnp.zeros((), jnp.int32)))
+            rhob, drhob = reg_decrease(rhob, drhob, opts)
+            out = (K, d, v1, v2, rhob, drhob)
+        else:
+            dtb = bc(dt_traj, in_batched[2])
+            objb = jax.tree_util.tree_map(
+                lambda x, bb: x if bb else jnp.broadcast_to(
+                    x, (axis_size,) + jnp.shape(x)), obj, in_batched[3])
+            out = jax.vmap(_impl)(Xb, Ub, dtb, objb, rhob, drhob)
+        return out, tuple(True for _ in range(6))
+
+    return fbp
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_fp_dispatch(model, opts: iLQROptions):
+    from jax.custom_batching import custom_vmap
+
+    from trajopt_tpu.ops.cost import total_cost
+
+    opts_t = (opts.line_search_lower_bound, opts.line_search_upper_bound,
+              opts.iterations_linesearch, opts.bp_reg_min,
+              opts.bp_reg_increase_factor, opts.bp_reg_fp)
+
+    def _impl(x0, X, U, K, d, dV1, dV2, J_prev, rho, drho, alpha0, dt_traj,
+              obj):
+        return forward_pass(
+            model, lambda Xc, Uc: total_cost(obj, Xc, Uc, dt_traj),
+            x0, X, U, K, d, dV1, dV2, J_prev, rho, drho, dt_traj, opts,
+            alpha0=alpha0)
+
+    @custom_vmap
+    def ffp(x0, X, U, K, d, dV1, dV2, J_prev, rho, drho, alpha0, dt_traj,
+            obj):
+        return _impl(x0, X, U, K, d, dV1, dV2, J_prev, rho, drho, alpha0,
+                     dt_traj, obj)
+
+    @ffp.def_vmap
+    def _rule(axis_size, in_batched, x0, X, U, K, d, dV1, dV2, J_prev,
+              rho, drho, alpha0, dt_traj, obj):
+        def bc(v, b):
+            return v if b else jnp.broadcast_to(
+                v, (axis_size,) + jnp.shape(v))
+
+        args = [bc(v, b) for v, b in zip(
+            (x0, X, U, K, d, dV1, dV2, J_prev, rho, drho, alpha0),
+            in_batched[:11])]
+        obj_batched = any(jax.tree_util.tree_leaves(in_batched[12]))
+        Xb, Ub = args[1], args[2]
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and axis_size % 128 == 0
+            and Xb.dtype == jnp.float32
+            and not in_batched[11]
+            and not obj_batched
+            and _fused_fp_tile_bytes(Xb.shape[1], Xb.shape[-1],
+                                     Ub.shape[-1]) < _PALLAS_VMEM_BUDGET
+        )
+        if use_pallas:
+            from trajopt_tpu.ops.pallas_fused import fused_forward_pallas
+
+            out = fused_forward_pallas(
+                model.step_lanes, None, *args, dt_traj, obj, opts_t)
+        else:
+            dtb = bc(dt_traj, in_batched[11])
+            objb = jax.tree_util.tree_map(
+                lambda x, bb: x if bb else jnp.broadcast_to(
+                    x, (axis_size,) + jnp.shape(x)), obj, in_batched[12])
+            out = jax.vmap(lambda a, dt_, o_: _impl(*a, dt_, o_))(
+                tuple(args), dtb, objb)
+        return out, tuple(True for _ in range(6))
+
+    return ffp
+
+
 @precise
 def ilqr_solve(
     model,
@@ -577,6 +749,7 @@ def ilqr_solve(
     grad_tol=None,
     rho0=None,
     do_rollout: bool = True,
+    objective=None,
 ) -> ILQRResult:
     """Solve an unconstrained (or AL-wrapped) problem with iLQR
     (reference solve!, ilqr_methods.jl:3-45).
@@ -586,6 +759,12 @@ def ilqr_solve(
     augmented_lagrangian_methods.jl:186-229). ``cost_tol``/``grad_tol`` may be
     traced scalars so the AL outer loop can tighten them without recompiling
     (reference set_tolerances!, augmented_lagrangian_methods.jl:39-50).
+
+    ``objective``: optional ops.cost.Objective METADATA whose total/expansion
+    (with this same dt) must equal cost_fn/expansion_fn. When given and the
+    model ships a lane-batched step, batched TPU solves run each iteration
+    as two fused Pallas programs (ops/pallas_fused.py) — jacobians,
+    expansion, Riccati and the whole line search computed in-kernel.
     """
     dtype = X0.dtype
     cost_tol = jnp.asarray(opts.cost_tolerance if cost_tol is None else cost_tol, dtype)
@@ -637,24 +816,38 @@ def ilqr_solve(
          a_prev) = st
         return (~converged) & (it < opts.iterations) & (J_prev < opts.max_cost_value)
 
+    use_fused = _fused_eligible(model, opts, objective)
+
     def body_fn(st):
         (X, U, K, d, J_prev, dJ, grad, rho_c, drho_c, dJ_zero, it, _,
          a_prev) = st
 
-        A, B = model.jacobian_traj(X[:-1], U, dt_traj)
-        exp = expansion_fn(X, U)
-        if qs is not None:
-            A, B, exp = project_err(X, A, B, exp)
-        K, d, dV1, dV2, rho_c, drho_c = backward_pass(A, B, exp, rho_c, drho_c, opts)
+        if use_fused:
+            K, d, dV1, dV2, rho_c, drho_c = _fused_bp_dispatch(model, opts)(
+                X, U, dt_traj, objective, rho_c, drho_c)
+        else:
+            A, B = model.jacobian_traj(X[:-1], U, dt_traj)
+            exp = expansion_fn(X, U)
+            if qs is not None:
+                A, B, exp = project_err(X, A, B, exp)
+            K, d, dV1, dV2, rho_c, drho_c = backward_pass(
+                A, B, exp, rho_c, drho_c, opts)
         if opts.line_search_warm_start:
             # grow from the last accepted step; reset to 1 after exhaustion
             alpha0 = jnp.where(a_prev > 0.0,
                                jnp.clip(2.0 * a_prev, 2.0 ** -10, 1.0), 1.0)
         else:
             alpha0 = None
-        Xn, Un, J, rho_c, drho_c, alpha = forward_pass(
-            model, cost_fn, x0, X, U, K, d, dV1, dV2, J_prev, rho_c, drho_c,
-            dt_traj, opts, alpha0=alpha0)
+        if use_fused:
+            Xn, Un, J, rho_c, drho_c, alpha = _fused_fp_dispatch(model, opts)(
+                x0, X, U, K, d, dV1, dV2, J_prev, rho_c, drho_c,
+                jnp.ones((), dtype) if alpha0 is None
+                else jnp.asarray(alpha0, dtype),
+                dt_traj, objective)
+        else:
+            Xn, Un, J, rho_c, drho_c, alpha = forward_pass(
+                model, cost_fn, x0, X, U, K, d, dV1, dV2, J_prev, rho_c,
+                drho_c, dt_traj, opts, alpha0=alpha0)
 
         dJ = jnp.abs(J - J_prev)
         grad = gradient_todorov(d, Un)
