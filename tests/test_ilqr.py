@@ -244,3 +244,45 @@ def test_initial_rollout_overflow_falls_back_to_hold():
     res = tt.al_solve(prob, tt.ALOptions())
     assert np.isfinite(float(res.J))
     assert np.all(np.isfinite(np.asarray(res.X)))
+
+
+@pytest.mark.parametrize("gtype", ["todorov", "feedforward", "l2", "linf"])
+def test_gradient_types(gtype):
+    """reference calculate_gradient (ilqr_methods.jl:91-102): every
+    gradient_type converges the double integrator to the goal."""
+    model_d = tt.discretize(zoo.doubleintegrator, "rk3")
+    n, m, N = 2, 1, 21
+    xf = np.array([1.0, 0.0])
+    obj = tt.LQRObjective(np.eye(n), np.eye(m) * 0.1, np.eye(n) * 100.0, xf, N)
+    prob = tt.problem(model_d, obj, x0=np.zeros(n), xf=xf, N=N, dt=0.1)
+    from trajopt_tpu.solvers.ilqr import iLQROptions
+    res = tt.al_solve(prob, tt.ALOptions(
+        opts_uncon=iLQROptions(gradient_type=gtype)))
+    assert np.linalg.norm(res.X[-1] - xf) < 1e-2
+    assert np.isfinite(float(res.gradient))
+
+
+def test_live_plotting_callback(tmp_path, monkeypatch):
+    """reference live_plotting (ilqr_methods.jl:65-75): the host callback
+    fires each iteration with the current trajectory."""
+    from trajopt_tpu.solvers.ilqr import iLQROptions
+    from trajopt_tpu.utils import plotting
+
+    calls = []
+    plotting.set_live_plot_writer(
+        lambda kind, traj, it: calls.append((kind, traj.shape, it)))
+    try:
+        model_d = tt.discretize(zoo.doubleintegrator, "rk3")
+        n, m, N = 2, 1, 21
+        xf = np.array([1.0, 0.0])
+        obj = tt.LQRObjective(np.eye(n), np.eye(m) * 0.1,
+                              np.eye(n) * 100.0, xf, N)
+        prob = tt.problem(model_d, obj, x0=np.zeros(n), xf=xf, N=N, dt=0.1)
+        res = tt.al_solve(prob, tt.ALOptions(
+            opts_uncon=iLQROptions(live_plotting="state")))
+        import jax
+        jax.effects_barrier()
+    finally:
+        plotting.set_live_plot_writer(None)
+    assert len(calls) >= 1
+    assert all(k == "state" and shp == (N, n) for k, shp, _ in calls)

@@ -54,7 +54,13 @@ class iLQROptions:
     max_cost_value: float = 1e8
     max_state_value: float = 1e8
     max_control_value: float = 1e8
+    # 'todorov' | 'feedforward' | 'l2' | 'linf' (see calculate_gradient)
     gradient_type: str = "todorov"
+    # 'off' | 'state' | 'control': render X or U each iteration via a host
+    # callback (reference live_plotting, ilqr_methods.jl:65-75; headless
+    # here — writes live_plot_<kind>.png, see utils.plotting
+    # set_live_plot_writer). Un-batched debugging only, like ``verbose``.
+    live_plotting: str = "off"
     bp_max_attempts: int = 50  # bound on non-PD retry sweeps (new; ref loops unboundedly)
     # TPU-native throughput knob (not in the reference): start the
     # backtracking line search at min(1, 2×last accepted α) instead of 1.
@@ -563,6 +569,33 @@ def gradient_todorov(d, U):
     return jnp.mean(maxes)
 
 
+def gradient_feedforward(d):
+    """‖d‖∞ (reference gradient_feedforward, ilqr_methods.jl:135-137)."""
+    return jnp.max(jnp.abs(d))
+
+
+def calculate_gradient(gradient_type, d, U, expansion_fn, X):
+    """Dispatch on iLQROptions.gradient_type (reference calculate_gradient,
+    ilqr_methods.jl:91-102): 'todorov' (iLQG heuristic, the default),
+    'feedforward' (‖d‖∞), 'l2'/'linf' (norms of the stacked cost-expansion
+    gradient [lx₁ lu₁ … lx_N], reference compute_gradient
+    ilqr_methods.jl:104-116). The type is static, so only the selected
+    branch is traced — l2/linf pay one extra cost expansion per iteration,
+    exactly like the reference."""
+    if gradient_type == "todorov":
+        return gradient_todorov(d, U)
+    if gradient_type == "feedforward":
+        return gradient_feedforward(d)
+    exp = expansion_fn(X, U)
+    g = jnp.concatenate([exp.x.ravel(), exp.u.ravel()])
+    if gradient_type == "l2":
+        return jnp.linalg.norm(g)
+    if gradient_type == "linf":
+        return jnp.max(jnp.abs(g))
+    raise ValueError(f"unknown gradient_type {gradient_type!r} "
+                     "(todorov | feedforward | l2 | linf)")
+
+
 # --------------------------------------------------- fused-iteration path
 #
 # When the solve carries Objective METADATA (a plain quadratic objective —
@@ -574,7 +607,9 @@ def gradient_todorov(d, U):
 # custom_vmap rules reproduces the existing scan semantics exactly.
 
 def _fused_eligible(model, opts: iLQROptions, objective):
-    return (objective is not None
+    from trajopt_tpu.ops.cost import Objective
+
+    return (isinstance(objective, Objective)
             and getattr(model, "step_lanes", None) is not None
             and opts.bp_type == "scan"
             and not opts.square_root
@@ -850,7 +885,7 @@ def ilqr_solve(
                 drho_c, dt_traj, opts, alpha0=alpha0)
 
         dJ = jnp.abs(J - J_prev)
-        grad = gradient_todorov(d, Un)
+        grad = calculate_gradient(opts.gradient_type, d, Un, expansion_fn, Xn)
         dJ_zero = jnp.where(dJ == 0.0, dJ_zero + 1, 0)
 
         converged = ((0.0 < dJ) & (dJ < cost_tol)) | (grad < grad_tol) \
@@ -860,6 +895,12 @@ def ilqr_solve(
                 "iLQR it {it:>4}  cost {J:.6e}  dJ {dJ:.3e}  grad {g:.3e}  "
                 "alpha {a:.4f}  rho {r:.2e}",
                 it=it + 1, J=J, dJ=dJ, g=grad, a=alpha, r=rho_c)
+        if opts.live_plotting != "off":
+            from trajopt_tpu.utils.plotting import live_plot_callback
+
+            jax.debug.callback(
+                live_plot_callback, opts.live_plotting,
+                Xn if opts.live_plotting == "state" else Un, it + 1)
         return (Xn, Un, K, d, J, dJ, grad, rho_c, drho_c, dJ_zero,
                 it + 1, converged, alpha)
 

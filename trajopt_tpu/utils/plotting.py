@@ -16,6 +16,44 @@ def _plt():
     return plt
 
 
+# --------------------------------------------------------- live plotting
+#
+# Counterpart of the reference live_plotting (reference
+# src/solvers/ilqr/ilqr_methods.jl:65-75): the reference display()s a plot
+# of X or U every accepted iteration. Here the solver body runs under jit,
+# so iLQROptions(live_plotting='state'|'control') emits a
+# jax.debug.callback to `live_plot_callback`, which renders to
+# ``live_plot_<kind>.png`` (headless Agg default). Replace the writer with
+# ``set_live_plot_writer(fn)`` for interactive backends or custom sinks —
+# fn(kind: str, traj: np.ndarray (N, dim), it: int).
+
+_live_plot_writer = None
+
+
+def set_live_plot_writer(fn):
+    """Override the live-plotting sink (None restores the PNG default)."""
+    global _live_plot_writer
+    _live_plot_writer = fn
+
+
+def live_plot_callback(kind, traj, it):
+    """Host-side live-plot hook invoked from inside the jitted iLQR loop."""
+    traj = np.asarray(traj)
+    it = int(it)
+    if _live_plot_writer is not None:
+        _live_plot_writer(kind, traj, it)
+        return
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.plot(traj)
+    ax.set_title(f"{'State' if kind == 'state' else 'Control'} trajectory "
+                 f"(iLQR iteration {it})")
+    ax.set_xlabel("knot")
+    fig.tight_layout()
+    fig.savefig(f"live_plot_{kind}.png", dpi=100)
+    plt.close(fig)
+
+
 def plot_trajectory(X, U=None, dt=None, labels=None, title="trajectory",
                     path=None):
     """State (and optionally control) time series (reference utils.jl:98-118)."""
