@@ -286,3 +286,81 @@ def test_live_plotting_callback(tmp_path, monkeypatch):
         plotting.set_live_plot_writer(None)
     assert len(calls) >= 1
     assert all(k == "state" and shp == (N, n) for k, shp, _ in calls)
+
+
+def test_sqrt_sweep_survives_al_penalty_conditioning():
+    """f32 regression for the equilibrated stage factorization
+    (BENCH_LOCAL.md maze + sqrt notes): an AL-decorated stage Hessian
+    mixing penalty rows ~mu=1e8 with slack-control rows ~R_inf=1e-8 has
+    kappa >> 1/eps_f32 — the raw Cholesky NaNs, the sweep zeroes every
+    gain (d == 0) and the solve freezes. The Jacobi-equilibrated factor
+    must succeed (fail=False) and match an f64 oracle on the gains."""
+    from trajopt_tpu.ops.cost import Expansion
+    from trajopt_tpu.solvers.ilqr import sqrt_sweep
+
+    rng = np.random.default_rng(3)
+    N, n, m, P = 9, 4, 3, 6
+
+    def build(dtype):
+        A = jnp.asarray(np.tile(np.eye(n) + 0.02 * rng.standard_normal((n, n)),
+                                (N - 1, 1, 1)), dtype)
+        B = jnp.asarray(0.05 * rng.standard_normal((N - 1, n, m)), dtype)
+        # AL-style expansion: tiny quadratic cost + huge Gauss-Newton
+        # penalty terms mu * c' c with state-only constraint rows
+        mu = 1e8
+        cx = rng.standard_normal((P, n))
+        lxx_pen = mu * cx.T @ cx
+        lxx = np.tile(1e-3 * np.eye(n) + lxx_pen, (N, 1, 1))
+        luu = np.tile(np.diag([1e-4, 1e-8, 1e-8]), (N - 1, 1, 1))
+        lux = np.zeros((N - 1, m, n))
+        lx = 0.1 * rng.standard_normal((N, n))
+        lu = 0.1 * rng.standard_normal((N - 1, m))
+        return A, B, Expansion(
+            x=jnp.asarray(lx, dtype), u=jnp.asarray(lu, dtype),
+            xx=jnp.asarray(lxx, dtype), uu=jnp.asarray(luu, dtype),
+            ux=jnp.asarray(lux, dtype))
+
+    A64, B64, e64 = build(jnp.float64)
+    K64, d64, v1_64, v2_64, fail64 = sqrt_sweep(A64, B64, e64, 0.0)
+    assert not bool(fail64)
+
+    A32, B32, e32 = build(jnp.float32)
+    K32, d32, v1_32, v2_32, fail32 = sqrt_sweep(A32, B32, e32, 0.0)
+    # The freeze regression: pre-fix the f32 stage Cholesky NaN'd, fail
+    # latched True for every rho-retry and the sweep returned d == 0.
+    # At kappa ~ 1e16 the GAINS are not f32-determined (kappa*eps >> 1,
+    # same argument as the d non-equivalence notes in CLAUDE.md), so the
+    # assertions are structural + sign-of-life, not value equivalence.
+    assert not bool(fail32), "equilibrated stage factorization failed in f32"
+    assert bool(jnp.all(jnp.isfinite(K32))) and bool(jnp.all(jnp.isfinite(d32)))
+    assert float(jnp.max(jnp.abs(d32))) > 0.0, "gains were zeroed (frozen solve)"
+    # expected-decrease terms keep their defining signs
+    assert float(v1_32) <= 0.0 and float(v2_32) >= 0.0
+
+
+def test_maze_sqrt_bp_converges_f32():
+    """End-to-end regression: the ALTRO maze schedule must converge with
+    bp_type='sqrt' in f32 (pre-equilibration it froze at mu >= 1e4 with
+    zeroed gains and AL ramped penalties against a dead iterate — conv
+    0.016-0.46, BENCH_LOCAL.md round-2/3 notes)."""
+    from trajopt_tpu.problem import update_problem
+    from trajopt_tpu.problems import zoo as probs
+    from trajopt_tpu.solvers.altro import (
+        ALTROOptions, _penalty_rows, infeasible_problem,
+    )
+
+    dtype = jnp.float32
+    prob = probs.quadrotor_maze(dtype=dtype)
+    prob_inf = infeasible_problem(prob, 1e-8)
+    al_base = tt.ALOptions(penalty_initial=1.0, penalty_scaling=25.0)
+    mu0, sca = _penalty_rows(prob_inf.constraints,
+                             ALTROOptions(R_inf=1e-8, opts_al=al_base), dtype)
+    opts = tt.ALOptions(
+        iterations=40,
+        opts_uncon=tt.iLQROptions(iterations=10, bp_type="sqrt"),
+        cost_tolerance=1e-5, cost_tolerance_intermediate=1e-3,
+        constraint_tolerance=1e-3, penalty_initial=1.0, penalty_scaling=25.0)
+    from trajopt_tpu.solvers.al import al_solve
+    r = al_solve(prob_inf, opts, mu_init=mu0[None, :], penalty_scaling=sca)
+    C = prob.constraints.evaluate(r.X[:, :13], r.U[:, :4])
+    assert float(prob.constraints.max_violation(C)) < 1e-3

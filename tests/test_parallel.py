@@ -357,3 +357,30 @@ def test_end_to_end_time_sharded_solve():
                        atol=1e-6)
     # and the solve actually works: pendulum swings up
     assert abs(float(res_tp.X[-1, 0]) - np.pi) < 1e-2
+
+
+def test_solve_batch_warm_dispersed_car_escape():
+    """Homotopy batch driver (parallel/batch.py solve_batch_warm): a
+    sigma=0.02 dispersed car_escape pool warm-started from one canonical
+    ALTRO solve converges on the FEASIBLE path (no slack transform) under
+    the capped local-correction schedule — the dispersion-robustness
+    pattern for trap problems (BENCH_LOCAL.md round 3)."""
+    import dataclasses
+
+    from trajopt_tpu.parallel.batch import solve_batch_warm
+    from trajopt_tpu.problems import zoo as probs
+    from trajopt_tpu.problems.tuned import tuned_altro_options
+
+    dtype = jnp.float32
+    prob = probs.car_escape(dtype=dtype)
+    topts = dataclasses.replace(tuned_altro_options("car_escape"),
+                                projected_newton=False)
+    B = 4
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(np.asarray(prob.x0)[None]
+                      + np.concatenate([rng.normal(size=(B, 2)) * 0.02,
+                                        np.zeros((B, 1))], 1), dtype)
+    r = solve_batch_warm(prob, topts, x0s, lanes=B)
+    cm = np.asarray(r.c_max)
+    assert np.all(cm < 1e-2), cm
+    assert np.all(np.asarray(r.iterations_total) <= 10 * 25)

@@ -86,27 +86,45 @@ def _sqrt_kernel(N, n, m, A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref,
 
     # ---- terminal: Ssqrt_N = chol(lxxN)ᵀ (upper), lane-batched ----------
     def chol_upper(rows, dim, fail):
-        """rows: list of dim (q, B) arrays holding a symmetric matrix's
-        rows (q ≥ dim; only the leading dim columns are factorized —
-        trailing columns ride along as the rhs of a triangular solve,
-        which is exactly what building R1's x-columns needs).
+        """rows: list of dim (dim, B) arrays holding a symmetric matrix's
+        rows. Jacobi-EQUILIBRATED factorization (mirrors solvers.ilqr
+        ``equilibrated_chol_upper``): factor D·M·D (unit diagonal) with a
+        relative jitter 1e-6·I in the scaled space, then unscale the
+        COLUMNS of the upper factor — (U·D⁻¹)ᵀ(U·D⁻¹) = M and column
+        scaling preserves triangularity. AL stage Hessians mix penalty
+        rows ~μ (1e8) with slack-control rows ~R_inf (1e-8): the raw f32
+        Cholesky breaks down near κ ~ 1/ε_f32, and a failed STAGE factor
+        is un-fixable by ρ-retries.
         Returns (list of dim rows of the upper factor, fail)."""
+        dinv = [jax.lax.rsqrt(jnp.maximum(rows[i][i:i + 1], 1e-30))
+                for i in range(dim)]                      # (1, B) each
+        dinv_col = jnp.concatenate(dinv, axis=0)          # (dim, B)
+        # pivot policy matches solvers.ilqr equilibrated_chol_upper:
+        # rounding-exhausted scaled pivots clamp to a floor (perturbs only
+        # where f32 information is gone); substantially negative = fail
+        if dtype == jnp.float32:
+            neg_tol, floor = 1e-3, 1e-7
+        else:
+            neg_tol, floor = 0.0, 1e-300
         out = []
         for i in range(dim):
-            s = rows[i]
+            s = rows[i] * dinv[i] * dinv_col
             for k in range(i):
                 s = s - out[k][i:i + 1] * out[k]
-            # tiny absolute jitter mirrors sqrt_sweep's terminal
-            # chol(· + 1e-14 I): merely-PSD Hessians (exact zero pivots)
-            # factor instead of failing
-            piv2 = s[i:i + 1] + 1e-14
-            fail = fail | (piv2 <= 0.0) | ~jnp.isfinite(piv2)
-            piv = jnp.sqrt(jnp.maximum(piv2, tiny))
+            piv2 = s[i:i + 1]
+            if neg_tol > 0.0:
+                fail = fail | (piv2 < -neg_tol) | ~jnp.isfinite(piv2)
+            else:
+                fail = fail | (piv2 <= 0.0) | ~jnp.isfinite(piv2)
+            piv = jnp.sqrt(jnp.maximum(piv2, floor))
             row = s / piv
             # exact pivot (row[i] = piv), zeros left of the diagonal
             row = jnp.where(iota_p[:row.shape[0]] == i, piv, row)
             row = jnp.where(iota_p[:row.shape[0]] < i, 0.0, row)
             out.append(row)
+        # unscale columns: U[i][j] = U_s[i][j]·√d_j
+        dsqrt_col = 1.0 / dinv_col
+        out = [row * dsqrt_col for row in out]
         return out, fail
 
     fail = jnp.zeros((1, Sx_ref.shape[-1]), dtype=jnp.bool_)

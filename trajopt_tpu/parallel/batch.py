@@ -203,6 +203,51 @@ def solve_batch_queued_altro(prob: Problem, opts, x0s, lanes: int = 128,
                              rounds=res.rounds)
 
 
+def solve_batch_warm(prob: Problem, opts, x0s, lanes: int = 128,
+                     warm=None, al_iterations: int = 10,
+                     ilqr_iterations: int = 25, infeasible=None,
+                     constraint_tolerance=None) -> QueuedBatchResult:
+    """Homotopy batch driver for dispersed initial conditions (the
+    "thousands of scenarios" pattern): trap problems like car_escape are
+    extremely start-sensitive — the IROS schedule costs ~40× iterations
+    under σ=0.02 x0 dispersion (benchmark/results_tpu_batched.jsonl).
+    Solving the TEMPLATE problem once and warm-starting every lane from
+    that solution turns each dispersed solve into a local correction:
+
+    1. one full ALTRO solve of the template (slack transform as needed),
+       or a caller-provided ``warm=(X, U)`` solution;
+    2. the pool streams through :func:`solve_batch_queued` on the FEASIBLE
+       path (no slack transform — the warm trajectory is already
+       near-feasible), each lane seeded with the canonical (X, U) and its
+       own x0 at knot 0, under a capped local-correction schedule
+       (``al_iterations`` outer × ``ilqr_iterations`` inner).
+
+    Measured (CPU f32, 16-lane σ=0.02 car_escape pool): cold queued
+    baseline 108 med / 201 max iterations vs 38 med / 54 max warm —
+    ~11× wall-clock, conv 1.0 at equal c_max (BENCH_LOCAL.md round 3).
+
+    ``opts``: ALTROOptions (the template solve's schedule; its ``opts_al``
+    is reused, iteration-capped, for the pool).
+    """
+    import dataclasses
+
+    from trajopt_tpu.solvers.altro import altro_solve
+
+    if warm is None:
+        r0 = altro_solve(prob, opts, infeasible=infeasible,
+                         minimum_time=False)
+        warm = (r0.X, r0.U)
+    Xc, Uc = (jnp.asarray(warm[0]), jnp.asarray(warm[1]))
+    al = opts.opts_al
+    al_capped = dataclasses.replace(
+        al, iterations=al_iterations,
+        opts_uncon=dataclasses.replace(al.opts_uncon,
+                                       iterations=ilqr_iterations))
+    prob_w = update_problem(prob, X=Xc, U=Uc)
+    return solve_batch_queued(prob_w, al_capped, x0s, lanes=lanes,
+                              constraint_tolerance=constraint_tolerance)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     devices = np.array(jax.devices()[: n_devices] if n_devices else jax.devices())
     return Mesh(devices, (axis,))

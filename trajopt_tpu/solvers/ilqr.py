@@ -62,6 +62,14 @@ class iLQROptions:
     # set_live_plot_writer). Un-batched debugging only, like ``verbose``.
     live_plotting: str = "off"
     bp_max_attempts: int = 50  # bound on non-PD retry sweeps (new; ref loops unboundedly)
+    # Proximal step-limit policy (new; no reference counterpart): when > 0,
+    # a backward sweep whose relative feedforward step
+    # mean_k max_j |d_kj|/(|u_kj|+1) exceeds this bound is ρ-escalated and
+    # redone, exactly like a non-PD failure. Gives bp_type='sqrt' (which
+    # never pivot-fails in f32) the step-size control that the scan BP gets
+    # by accident from f32 spurious Cholesky breakdowns on stiff
+    # constraint-penalty Hessians (see BENCH_LOCAL.md maze notes). 0 = off.
+    bp_step_limit: float = 0.0
     # TPU-native throughput knob (not in the reference): start the
     # backtracking line search at min(1, 2×last accepted α) instead of 1.
     # When a problem's accepted step settles at small α (e.g. the quadrotor
@@ -147,6 +155,17 @@ def _rollout_tile_bytes(N, n, m, ns):
 
 
 
+# Equilibrated-space pivot policy for the sqrt stage factorization (f32):
+# a Schur pivot below -SQRT_PIVOT_NEG_TOL means genuinely indefinite (fail
+# → ρ-retry); pivots in (-tol, floor) are rounding-exhausted PSD pivots and
+# are clamped to SQRT_PIVOT_FLOOR_F32 instead of NaN-ing the factor. The
+# clamp perturbs ONLY the exhausted pivots — well-conditioned problems
+# factor bit-exactly (an upfront 1e-6 jitter measured 80-vs-14 iterations
+# on the f32 error-state flagship; see BENCH_LOCAL.md round-3 notes).
+SQRT_PIVOT_NEG_TOL = 1e-3
+SQRT_PIVOT_FLOOR_F32 = 1e-7
+
+
 def sqrt_sweep(A, B, exp: Expansion, rho_val):
     """QR square-root Riccati sweep (reference _backwardpass_sqrt!,
     backward_pass.jl:87-169), reformulated TPU-first: instead of
@@ -168,24 +187,59 @@ def sqrt_sweep(A, B, exp: Expansion, rho_val):
     m = B.shape[-1]
     dtype = A.dtype
 
+    def equilibrated_chol_upper(M):
+        """(upper factor, fail) of chol(M)ᵀ via Jacobi equilibration:
+        factor D·M·D (unit diagonal) and unscale the COLUMNS of its upper
+        factor, which preserves triangularity: (U D⁻¹)ᵀ(U D⁻¹) = M.
+        AL-decorated stage Hessians mix penalty rows ~μ (up to 1e8) with
+        slack-control rows ~R_inf (1e-8); the raw f32 Cholesky breaks down
+        near κ ~ 1/ε_f32 ≈ 1e7 and a failed STAGE factor cannot be fixed
+        by ρ-retries (ρ regularizes Quu, not the stage cost). Diagonal
+        scaling removes exactly this scaling-dominated ill-conditioning;
+        rounding-exhausted pivots of the scaled matrix are CLAMPED to a
+        floor (a perturbation only where the f32 information is already
+        gone — merely-PSD Hessians factor instead of failing), while a
+        substantially negative pivot still fails (genuinely indefinite)."""
+        M = 0.5 * (M + M.T)
+        p = M.shape[0]
+        dg = jnp.diagonal(M)
+        d_inv = 1.0 / jnp.sqrt(jnp.maximum(dg, 1e-30))
+        S = M * d_inv[:, None] * d_inv[None, :]
+        if dtype == jnp.float32:
+            neg_tol, floor = SQRT_PIVOT_NEG_TOL, SQRT_PIVOT_FLOOR_F32
+        else:
+            neg_tol, floor = 0.0, 1e-300
+        idx = jnp.arange(p)
+        U = jnp.zeros_like(S)
+        fail = jnp.asarray(False)
+        for i in range(p):
+            piv2 = S[i, i]
+            if neg_tol > 0.0:
+                fail = fail | (piv2 < -neg_tol) | ~jnp.isfinite(piv2)
+            else:
+                fail = fail | (piv2 <= 0.0) | ~jnp.isfinite(piv2)
+            piv = jnp.sqrt(jnp.maximum(piv2, floor))
+            row = S[i] / piv
+            row = jnp.where(idx == i, piv, row)
+            row = jnp.where(idx < i, 0.0, row)
+            U = U.at[i].set(row)
+            S = S - jnp.outer(row, row)
+        return U / d_inv[None, :], fail  # upper, columns unscaled
+
     def stage_sqrt(luu, lux, lxx):
         joint = jnp.block([[luu, lux], [lux.T, lxx]])
-        joint = 0.5 * (joint + joint.T)
-        L = jnp.linalg.cholesky(joint)
-        return L.T  # upper (m+n, m+n), column order [u, x]
+        return equilibrated_chol_upper(joint)  # upper, column order [u, x]
 
-    Mstage = jax.vmap(stage_sqrt)(exp.uu, exp.ux, exp.xx[:-1])
+    Mstage, stage_fail = jax.vmap(stage_sqrt)(exp.uu, exp.ux, exp.xx[:-1])
     sqrt_rho = jnp.sqrt(rho_val)
     reg_rows = jnp.concatenate(
         [jnp.eye(m, dtype=dtype), jnp.zeros((m, n), dtype)], axis=1)
 
-    SsqrtN = jnp.linalg.cholesky(
-        0.5 * (exp.xx[-1] + exp.xx[-1].T)
-        + 1e-14 * jnp.eye(n, dtype=dtype)).T
+    SsqrtN, failN = equilibrated_chol_upper(exp.xx[-1])
 
     def bp_step(carry, inp):
         Sx, Ssqrt, dV1, dV2, fail = carry
-        A_k, B_k, lx, lu, Mk = inp
+        A_k, B_k, lx, lu, Mk, sf_k = inp
 
         BA = jnp.concatenate([B_k, A_k], axis=1)         # (n, m+n)
         M = jnp.concatenate([Mk, Ssqrt @ BA, sqrt_rho * reg_rows], axis=0)
@@ -196,7 +250,7 @@ def sqrt_sweep(A, B, exp: Expansion, rho_val):
 
         diag = jnp.abs(jnp.diag(Ruu))
         fail_k = (jnp.min(diag) / jnp.maximum(jnp.max(diag), 1e-300)) < 1e-8
-        fail_k = fail_k | jnp.any(jnp.isnan(R))
+        fail_k = fail_k | jnp.any(jnp.isnan(R)) | sf_k
 
         Qx = lx + A_k.T @ Sx
         Qu = lu + B_k.T @ Sx
@@ -222,22 +276,29 @@ def sqrt_sweep(A, B, exp: Expansion, rho_val):
     zero = jnp.zeros((), dtype)
     (Sx, Ssqrt, dV1, dV2, fail), (K, d) = jax.lax.scan(
         bp_step,
-        (exp.x[-1], SsqrtN, zero, zero, jnp.asarray(False)),
-        (A, B, exp.x[:-1], exp.u, Mstage),
+        (exp.x[-1], SsqrtN, zero, zero, failN),
+        (A, B, exp.x[:-1], exp.u, Mstage, stage_fail),
         reverse=True,
     )
     return K, d, dV1, dV2, fail
 
 
-def backward_pass(A, B, exp: Expansion, rho, drho, opts: iLQROptions):
+def backward_pass(A, B, exp: Expansion, rho, drho, opts: iLQROptions,
+                  U=None):
     """Riccati/DDP sweep — dispatches through a ``custom_vmap`` wrapper so
     that BATCHED solves (vmap over problems) use the fused Pallas lane-batch
     kernel on TPU while the single-problem path keeps the scan semantics.
-    See :func:`_backward_pass_impl` for the algorithm."""
+    See :func:`_backward_pass_impl` for the algorithm.
+
+    ``U`` (current controls) is only consumed by the proximal step-limit
+    policy (``opts.bp_step_limit``) and may be omitted otherwise."""
+    if opts.bp_step_limit > 0.0 and U is not None:
+        return _bp_dispatch_limited(opts)(A, B, exp, rho, drho, U)
     return _bp_dispatch(opts)(A, B, exp, rho, drho)
 
 
-def _bp_batched_pallas(A, B, exp: Expansion, rho, drho, opts: iLQROptions):
+def _bp_batched_pallas(A, B, exp: Expansion, rho, drho, opts: iLQROptions,
+                       U=None):
     """Batched backward pass on a fused Pallas Riccati kernel (standard
     scan semantics or the QR square-root sweep, by bp_type) with the
     reference's per-problem ρ-retry semantics (masked re-sweeps)."""
@@ -255,6 +316,15 @@ def _bp_batched_pallas(A, B, exp: Expansion, rho, drho, opts: iLQROptions):
         def sweep(rho_v):
             return riccati_sweep_pallas(A, B, exp.x, exp.u, exp.xx, exp.uu,
                                         exp.ux, rho_v, reg_state=reg_state)
+
+    if opts.bp_step_limit > 0.0 and U is not None:
+        base_sweep = sweep
+
+        def sweep(rho_v):
+            K, d, v1, v2, fail = base_sweep(rho_v)
+            hot = jnp.mean(jnp.max(jnp.abs(d) / (jnp.abs(U) + 1.0), axis=-1),
+                           axis=-1) > opts.bp_step_limit
+            return K, d, v1, v2, fail | hot
 
     K0, d0, v1, v2, fail0 = sweep(rho)
 
@@ -323,7 +393,52 @@ def _bp_dispatch(opts: iLQROptions):
     return bp
 
 
-def _backward_pass_impl(A, B, exp: Expansion, rho, drho, opts: iLQROptions):
+@functools.lru_cache(maxsize=None)
+def _bp_dispatch_limited(opts: iLQROptions):
+    """Same dispatch as :func:`_bp_dispatch` but carrying the current
+    controls ``U`` for the proximal step-limit policy (bp_step_limit)."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def bp(A, B, exp, rho, drho, U):
+        return _backward_pass_impl(A, B, exp, rho, drho, opts, U=U)
+
+    @bp.def_vmap
+    def _rule(axis_size, in_batched, A, B, exp, rho, drho, U):
+        def bc(v, b):
+            return jax.tree_util.tree_map(
+                lambda x: x if b else jnp.broadcast_to(
+                    x, (axis_size,) + jnp.shape(x)), v)
+
+        bA, bB, brho, bdrho, bU = (
+            bc(A, in_batched[0]), bc(B, in_batched[1]),
+            bc(rho, in_batched[3]), bc(drho, in_batched[4]),
+            bc(U, in_batched[5]))
+        bexp = jax.tree_util.tree_map(
+            lambda x, bb: x if bb else jnp.broadcast_to(
+                x, (axis_size,) + jnp.shape(x)),
+            exp, in_batched[2])
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and opts.bp_type != "parallel"
+            and axis_size % 128 == 0
+            and bA.dtype == jnp.float32
+            and _bp_tile_bytes(bA.shape[1], bA.shape[-1], bB.shape[-1])
+                < _PALLAS_VMEM_BUDGET
+        )
+        if use_pallas:
+            out = _bp_batched_pallas(bA, bB, bexp, brho, bdrho, opts, U=bU)
+        else:
+            out = jax.vmap(lambda a, b, e, r, dr, u: _backward_pass_impl(
+                a, b, e, r, dr, opts, U=u))(bA, bB, bexp, brho, bdrho, bU)
+        return out, tuple(True for _ in range(6))
+
+    return bp
+
+
+def _backward_pass_impl(A, B, exp: Expansion, rho, drho, opts: iLQROptions,
+                        U=None):
     """Riccati/DDP sweep (reference _backwardpass!, backward_pass.jl:9-85).
 
     A: (N-1, n, n), B: (N-1, n, m), exp: stacked expansion.
@@ -412,6 +527,23 @@ def _backward_pass_impl(A, B, exp: Expansion, rho, drho, opts: iLQROptions):
 
     if sweep is None:
         sweep = _scan_sweep
+
+    if opts.bp_step_limit > 0.0 and U is not None:
+        # Proximal step-limit policy: a numerically healthy sweep whose
+        # RELATIVE feedforward step (gradient_todorov's measure,
+        # mean_k max_j |d|/(|u|+1)) exceeds bp_step_limit is treated
+        # exactly like a pivot failure — escalate ρ and redo the sweep.
+        # This is the principled replacement for the step-size control the
+        # scan BP gets by accident from f32 spurious pivot failures
+        # (BENCH_LOCAL.md "Maze + sqrt BP retune"): ρ bounds the proximal
+        # step directly instead of relying on rounding-level Cholesky
+        # breakdowns. After bp_max_attempts the last sweep is used as-is.
+        base_sweep = sweep
+
+        def sweep(rho_val):
+            K, d, dV1, dV2, fail = base_sweep(rho_val)
+            hot = gradient_todorov(d, U) > opts.bp_step_limit
+            return K, d, dV1, dV2, fail | hot
 
     K0, d0, dV1_0, dV2_0, fail0 = sweep(rho)
 
@@ -866,7 +998,7 @@ def ilqr_solve(
             if qs is not None:
                 A, B, exp = project_err(X, A, B, exp)
             K, d, dV1, dV2, rho_c, drho_c = backward_pass(
-                A, B, exp, rho_c, drho_c, opts)
+                A, B, exp, rho_c, drho_c, opts, U=U)
         if opts.line_search_warm_start:
             # grow from the last accepted step; reset to 1 after exhaustion
             alpha0 = jnp.where(a_prev > 0.0,
