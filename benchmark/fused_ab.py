@@ -45,6 +45,7 @@ def main(B=128, N=101, iters=25):
     U0 = jnp.full((N - 1, m), 1.25, dtype)
     X0 = jnp.full((N, n), jnp.nan, dtype)
     opts = iLQROptions(iterations=iters)
+    opts_fused = iLQROptions(iterations=iters, fused=True)
 
     def cost_fn(X, U):
         return obj.total(X, U, dt_traj)
@@ -52,10 +53,10 @@ def main(B=128, N=101, iters=25):
     def exp_fn(X, U):
         return obj.expansion(X, U, dt_traj)
 
-    def run(tag, objective):
+    def run(tag, objective, o=None):
         fn = jax.jit(jax.vmap(lambda x_: ilqr_solve(
-            model_d, cost_fn, exp_fn, x_, X0, U0, dt_traj, opts,
-            objective=objective)))
+            model_d, cost_fn, exp_fn, x_, X0, U0, dt_traj,
+            opts if o is None else o, objective=objective)))
         t0 = time.perf_counter()
         r = fn(x0s)
         jax.block_until_ready(r.X)
@@ -77,7 +78,7 @@ def main(B=128, N=101, iters=25):
         return B / dt_med
 
     r_old = run("phase-split", None)
-    r_new = run("fused      ", obj)
+    r_new = run("fused      ", obj, o=opts_fused)
     print(f"speedup: {r_new / r_old:.2f}x", flush=True)
 
 

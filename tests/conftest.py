@@ -16,3 +16,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+# Bound in-process XLA compile-cache growth: a single pytest process
+# accumulates every jitted executable across ~125 tests and the XLA CPU
+# client reproducibly segfaulted inside backend_compile around test ~108
+# (LLVM-side, not a library bug — each file passes in isolation). Clearing
+# JAX's jit caches between test modules keeps the process bounded; the
+# next module re-traces what it needs.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compile_cache():
+    yield
+    jax.clear_caches()

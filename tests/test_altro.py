@@ -97,6 +97,7 @@ def test_car_escape_altro_pn():
     assert np.linalg.norm(np.asarray(res.X[-1]) - np.asarray(prob.xf)) < 1e-4
 
 
+@pytest.mark.slow
 def test_kuka_obstacles_altro():
     """7-DOF arm among obstacles (reference problems/kuka_obstacles.jl +
     examples/IROS_2019/kuka_obstacles.jl options)."""
@@ -110,6 +111,7 @@ def test_kuka_obstacles_altro():
     assert np.linalg.norm(np.asarray(res.X[-1]) - np.asarray(prob.xf)) < 1e-3
 
 
+@pytest.mark.slow
 def test_quadrotor_maze_altro():
     """Flagship benchmark problem solves end-to-end with PN polish
     (reference examples/IROS_2019/quadrotor_maze.jl options)."""

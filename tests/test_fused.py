@@ -108,6 +108,7 @@ def test_fused_forward_matches_forward_pass():
         jnp.max(jnp.abs(Jr)))
 
 
+@pytest.mark.slow
 def test_solver_fused_metadata_matches_plain_path():
     """objective= metadata must not change results off-TPU (the custom_vmap
     fallback reproduces the plain path exactly)."""
@@ -130,7 +131,7 @@ def test_solver_fused_metadata_matches_plain_path():
     def exp_fn(X, U):
         return obj.expansion(X, U, dt_traj)
 
-    opts = iLQROptions(iterations=60)
+    opts = iLQROptions(iterations=60, fused=True)
     r_old = ilqr_solve(model_d, cost_fn, exp_fn, jnp.asarray(x0), X0, U0,
                        dt_traj, opts)
     r_new = ilqr_solve(model_d, cost_fn, exp_fn, jnp.asarray(x0), X0, U0,

@@ -338,6 +338,7 @@ def test_sqrt_sweep_survives_al_penalty_conditioning():
     assert float(v1_32) <= 0.0 and float(v2_32) >= 0.0
 
 
+@pytest.mark.slow
 def test_maze_sqrt_bp_converges_f32():
     """End-to-end regression: the ALTRO maze schedule must converge with
     bp_type='sqrt' in f32 (pre-equilibration it froze at mu >= 1e4 with

@@ -130,6 +130,7 @@ def _bp_batch_inputs(B=128, N=21, seed=3, dtype=np.float32):
     return cast(A), cast(Bj), cast(exp)
 
 
+@pytest.mark.slow
 def test_pallas_sqrt_sweep_matches_scan_sqrt():
     """Fused lane-batched QR sqrt kernel == vmapped sqrt_sweep (interpret
     mode; compiled-vs-interpret equality is checked on TPU by the bench

@@ -118,6 +118,7 @@ def test_custom_vmap_dispatch_consistency():
                        rtol=1e-1, atol=1e-1)
 
 
+@pytest.mark.slow
 def test_time_sharded_riccati_on_mesh():
     """Time-axis (sequence-parallel) Riccati over the 8-device virtual mesh
     ≡ the single-device associative scan ≡ the sequential sweep
@@ -157,6 +158,7 @@ def _quadrotor_bp_inputs(N, dtype):
     return A, B, exp
 
 
+@pytest.mark.slow
 def test_parallel_riccati_f32_flagship():
     """f32 square-root associative-scan sweep vs the f64 sequential oracle
     at the flagship quadrotor shapes (VERDICT r1 item 1: the round-1
@@ -322,6 +324,7 @@ def test_parallel_riccati_overactuated_and_psd_stage_cost():
     assert np.allclose(np.asarray(d1), np.asarray(d0), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_end_to_end_time_sharded_solve():
     """END-TO-END iLQR/AL solve with the horizon sharded over the 8-device
     virtual mesh (iLQROptions(bp_type='parallel', tp_mesh=mesh)): every
@@ -359,6 +362,7 @@ def test_end_to_end_time_sharded_solve():
     assert abs(float(res_tp.X[-1, 0]) - np.pi) < 1e-2
 
 
+@pytest.mark.slow
 def test_solve_batch_warm_dispersed_car_escape():
     """Homotopy batch driver (parallel/batch.py solve_batch_warm): a
     sigma=0.02 dispersed car_escape pool warm-started from one canonical

@@ -1,6 +1,7 @@
 """DIRTREL robust solver + rigid-body/URDF layer tests."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import trajopt_tpu as tt
 from trajopt_tpu.models import zoo, robots
@@ -50,6 +51,7 @@ def test_ellipsoid_propagation_shapes_and_psd():
     assert float(lE) > 0
 
 
+@pytest.mark.slow
 def test_dirtrel_reduces_robust_cost():
     """The DIRTREL trajectory must have lower closed-loop dispersion than the
     nominal DIRCOL optimum (the point of the algorithm — reference dirtrel.jl
@@ -192,6 +194,7 @@ def test_dirtrel_vertex_tightening_backs_off_bounds():
     assert np.allclose(np.einsum("kij,kjl->kil", M, M), KEK, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_structured_rbd_jvp_matches_generic_ad():
     """make_chain_dynamics' inverse-dynamics JVP (rigidbody.py) must match
     plain jacfwd through CRBA + RNEA + the solve, in both AD modes (the

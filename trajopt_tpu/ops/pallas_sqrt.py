@@ -87,45 +87,62 @@ def _sqrt_kernel(N, n, m, A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref,
     # ---- terminal: Ssqrt_N = chol(lxxN)ᵀ (upper), lane-batched ----------
     def chol_upper(rows, dim, fail):
         """rows: list of dim (dim, B) arrays holding a symmetric matrix's
-        rows. Jacobi-EQUILIBRATED factorization (mirrors solvers.ilqr
-        ``equilibrated_chol_upper``): factor D·M·D (unit diagonal) with a
-        relative jitter 1e-6·I in the scaled space, then unscale the
-        COLUMNS of the upper factor — (U·D⁻¹)ᵀ(U·D⁻¹) = M and column
-        scaling preserves triangularity. AL stage Hessians mix penalty
-        rows ~μ (1e8) with slack-control rows ~R_inf (1e-8): the raw f32
-        Cholesky breaks down near κ ~ 1/ε_f32, and a failed STAGE factor
-        is un-fixable by ρ-retries.
+        rows. Plain Cholesky FIRST (exact rounding of the original kernel
+        — the f32 hot-gain iteration path is chaotically sensitive at
+        κ(Quu)~1e9, and switching every knot to equilibrated arithmetic
+        measured 28→43 mean iterations on the TPU flagship); lanes whose
+        plain factorization breaks down get the Jacobi-EQUILIBRATED
+        factor instead (factor D·M·D with unit diagonal, unscale the
+        COLUMNS of the upper factor — (U·D⁻¹)ᵀ(U·D⁻¹) = M): AL stage
+        Hessians mixing penalty rows ~μ (1e8) with slack rows ~R_inf
+        (1e-8) NaN the raw f32 Cholesky, and a failed STAGE factor is
+        un-fixable by ρ-retries (pre-fix those lanes froze with zeroed
+        gains). Rounding-exhausted pivots of the scaled matrix clamp to a
+        floor; substantially negative = genuinely indefinite = fail.
         Returns (list of dim rows of the upper factor, fail)."""
+        # --- plain path (bit-exact vs the original kernel) ---------------
+        plain = []
+        f_plain = jnp.zeros_like(fail)
+        for i in range(dim):
+            s = rows[i]
+            for k in range(i):
+                s = s - plain[k][i:i + 1] * plain[k]
+            piv2 = s[i:i + 1] + 1e-14
+            f_plain = f_plain | (piv2 <= 0.0) | ~jnp.isfinite(piv2)
+            piv = jnp.sqrt(jnp.maximum(piv2, tiny))
+            row = s / piv
+            row = jnp.where(iota_p[:row.shape[0]] == i, piv, row)
+            row = jnp.where(iota_p[:row.shape[0]] < i, 0.0, row)
+            plain.append(row)
+        # --- equilibrated fallback ---------------------------------------
         dinv = [jax.lax.rsqrt(jnp.maximum(rows[i][i:i + 1], 1e-30))
                 for i in range(dim)]                      # (1, B) each
         dinv_col = jnp.concatenate(dinv, axis=0)          # (dim, B)
-        # pivot policy matches solvers.ilqr equilibrated_chol_upper:
-        # rounding-exhausted scaled pivots clamp to a floor (perturbs only
-        # where f32 information is gone); substantially negative = fail
         if dtype == jnp.float32:
             neg_tol, floor = 1e-3, 1e-7
         else:
             neg_tol, floor = 0.0, 1e-300
-        out = []
+        f_eq = jnp.zeros_like(fail)
+        eq = []
         for i in range(dim):
             s = rows[i] * dinv[i] * dinv_col
             for k in range(i):
-                s = s - out[k][i:i + 1] * out[k]
+                s = s - eq[k][i:i + 1] * eq[k]
             piv2 = s[i:i + 1]
             if neg_tol > 0.0:
-                fail = fail | (piv2 < -neg_tol) | ~jnp.isfinite(piv2)
+                f_eq = f_eq | (piv2 < -neg_tol) | ~jnp.isfinite(piv2)
             else:
-                fail = fail | (piv2 <= 0.0) | ~jnp.isfinite(piv2)
+                f_eq = f_eq | (piv2 <= 0.0) | ~jnp.isfinite(piv2)
             piv = jnp.sqrt(jnp.maximum(piv2, floor))
             row = s / piv
-            # exact pivot (row[i] = piv), zeros left of the diagonal
             row = jnp.where(iota_p[:row.shape[0]] == i, piv, row)
             row = jnp.where(iota_p[:row.shape[0]] < i, 0.0, row)
-            out.append(row)
+            eq.append(row)
         # unscale columns: U[i][j] = U_s[i][j]·√d_j
         dsqrt_col = 1.0 / dinv_col
-        out = [row * dsqrt_col for row in out]
-        return out, fail
+        out = [jnp.where(f_plain, eq[i] * dsqrt_col, plain[i])
+               for i in range(dim)]
+        return out, fail | (f_plain & f_eq)
 
     fail = jnp.zeros((1, Sx_ref.shape[-1]), dtype=jnp.bool_)
     lxxN_rows = [lxx_ref[0, N - 1][i] for i in range(n)]

@@ -62,6 +62,14 @@ class iLQROptions:
     # set_live_plot_writer). Un-batched debugging only, like ``verbose``.
     live_plotting: str = "off"
     bp_max_attempts: int = 50  # bound on non-PD retry sweeps (new; ref loops unboundedly)
+    # Fused-iteration Pallas kernels (ops/pallas_fused.py): run jacobians +
+    # expansion + Riccati as ONE kernel and the whole line search as
+    # another. OFF by default: measured 0.76× vs the XLA-pipelined
+    # phase-split path on the quadrotor A/B (benchmark/fused_ab.py, TPU
+    # v5e, B=128 — XLA already overlaps the phases well and the mega-
+    # kernels lose occupancy to VMEM pressure). Kept as an option for
+    # shapes where dispatch overhead dominates.
+    fused: bool = False
     # Proximal step-limit policy (new; no reference counterpart): when > 0,
     # a backward sweep whose relative feedforward step
     # mean_k max_j |d_kj|/(|u_kj|+1) exceeds this bound is ρ-escalated and
@@ -200,7 +208,6 @@ def sqrt_sweep(A, B, exp: Expansion, rho_val):
         floor (a perturbation only where the f32 information is already
         gone — merely-PSD Hessians factor instead of failing), while a
         substantially negative pivot still fails (genuinely indefinite)."""
-        M = 0.5 * (M + M.T)
         p = M.shape[0]
         dg = jnp.diagonal(M)
         d_inv = 1.0 / jnp.sqrt(jnp.maximum(dg, 1e-30))
@@ -226,16 +233,32 @@ def sqrt_sweep(A, B, exp: Expansion, rho_val):
             S = S - jnp.outer(row, row)
         return U / d_inv[None, :], fail  # upper, columns unscaled
 
+    def robust_chol_upper(M):
+        """Plain Cholesky FIRST, equilibrated fallback only where it
+        breaks: healthy stage Hessians keep the exact rounding of the
+        plain factorization (the f32 hot-gain iteration path is
+        chaotically sensitive at κ(Quu)~1e9 — switching ALL knots to the
+        equilibrated arithmetic measured 28→43 mean iterations on the TPU
+        flagship, BENCH_LOCAL.md round 3), while the ill-conditioned
+        knots that would NaN (AL penalties ≥ 1e4 vs R_inf slack rows) get
+        the equilibrated factor instead of freezing the solve."""
+        M = 0.5 * (M + M.T)
+        U_plain = jnp.linalg.cholesky(M).T
+        bad = ~jnp.all(jnp.isfinite(U_plain))
+        U_eq, fail_eq = equilibrated_chol_upper(M)
+        return jnp.where(bad, U_eq, U_plain), bad & fail_eq
+
     def stage_sqrt(luu, lux, lxx):
         joint = jnp.block([[luu, lux], [lux.T, lxx]])
-        return equilibrated_chol_upper(joint)  # upper, column order [u, x]
+        return robust_chol_upper(joint)  # upper, column order [u, x]
 
     Mstage, stage_fail = jax.vmap(stage_sqrt)(exp.uu, exp.ux, exp.xx[:-1])
     sqrt_rho = jnp.sqrt(rho_val)
     reg_rows = jnp.concatenate(
         [jnp.eye(m, dtype=dtype), jnp.zeros((m, n), dtype)], axis=1)
 
-    SsqrtN, failN = equilibrated_chol_upper(exp.xx[-1])
+    SsqrtN, failN = robust_chol_upper(
+        exp.xx[-1] + 1e-14 * jnp.eye(n, dtype=dtype))
 
     def bp_step(carry, inp):
         Sx, Ssqrt, dV1, dV2, fail = carry
@@ -741,7 +764,8 @@ def calculate_gradient(gradient_type, d, U, expansion_fn, X):
 def _fused_eligible(model, opts: iLQROptions, objective):
     from trajopt_tpu.ops.cost import Objective
 
-    return (isinstance(objective, Objective)
+    return (opts.fused
+            and isinstance(objective, Objective)
             and getattr(model, "step_lanes", None) is not None
             and opts.bp_type == "scan"
             and not opts.square_root
