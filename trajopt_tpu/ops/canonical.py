@@ -1,0 +1,172 @@
+"""Canonical (data-representable) constraint stacks for in-kernel AL.
+
+The AL-aware fused iteration kernels (ops/pallas_al_fused.py) evaluate the
+whole masked (N, P) constraint stack INSIDE the Pallas programs — per knot,
+per lane — so the AL cost and its Gauss-Newton expansion never touch HBM.
+That requires the constraint functions to be *data*, not Python callables.
+Every constraint the reference's problem zoo uses (reference
+problems/*.jl: circle/sphere obstacle fields, box bounds, goal equalities,
+the infeasible-start slack rows, src/constraints.jl:140-314) is one of two
+canonical row kinds:
+
+- ``sphere``: c_p = b_p − Σ_d (x[coords[d]] − ctr[p, d])²   (inequality)
+  — circle obstacles (D=2, reference src/utils.jl:140-144) and sphere
+  obstacles (D=3, src/utils.jl:150-156).
+- ``linear`` single-entry rows: c_p = sign_p · z[col_p] + off_p with
+  z = [x; u] — box bounds (±e_i selections, src/constraints.jl:140-188),
+  goal equalities (identity rows, :299-304), infeasible-slack equalities
+  ([0 I] rows, :306-314).
+
+Constraints attach a ``canon`` descriptor (see :func:`sphere_canon` /
+:func:`linear_canon`); :func:`canonical_stack` compiles a ConstraintSet
+into a hashable static ``spec`` plus kernel-ready data arrays. A stack
+containing any constraint WITHOUT a descriptor (e.g. the kuka FK-bubble
+constraints) is not canonicalizable and returns ``None`` — the solver then
+keeps the unfused AL path.
+
+Knot-validity masks are NOT part of the canonical data: the AL caller's
+λ and μ arrays are already zero on invalid (N, P) rows (solvers/al.py
+dual_update/penalty_update re-mask every outer iteration), so masked rows
+contribute exactly nothing to g = Iμ∘c + λ and to the penalty cost.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def sphere_canon(coords, ctr, b):
+    """Descriptor for sphere/circle rows: c = b − Σ_d (x[coords[d]] − ctr)².
+
+    coords: tuple of state indices (len D); ctr: (p, D); b: (p,) = r²."""
+    ctr = np.asarray(ctr, np.float64)
+    b = np.asarray(b, np.float64)
+    assert ctr.shape == (b.shape[0], len(coords))
+    return ("sphere", tuple(int(c) for c in coords), ctr, b)
+
+
+def linear_canon(rows, off):
+    """Descriptor for single-entry linear rows: c_p = sign·z[col] + off_p.
+
+    rows: sequence of (is_u (bool), idx (int), sign (float)); off: (p,)."""
+    off = np.asarray(off, np.float64)
+    rows = tuple((bool(a), int(i), float(s)) for a, i, s in rows)
+    assert len(rows) == off.shape[0]
+    return ("linear", rows, off)
+
+
+class CanonStack(NamedTuple):
+    """Kernel-ready canonical constraint stack.
+
+    ``spec`` is static/hashable (drives kernel codegen); ``data`` is a flat
+    tuple of laneless jnp arrays consumed in order by the kernels:
+
+    - sphere group: ctrT (D, p, 1), b (p, 1)
+    - linear group: off (p, 1), eqm (p, 1), selT (ncols, p, 1),
+      sel (p, ncols, 1)
+
+    spec entries:
+    - ("sphere", r0, r1, coords)
+    - ("linear", r0, r1, used_cols)  # used_cols: tuple of z-indices
+    """
+
+    spec: tuple
+    data: tuple
+    P: int
+
+
+def constraint_canon(con, n: int, m: int):
+    """The constraint's canonical descriptor re-targeted to problem dims
+    (n, m): z-columns resolved, or None if not representable."""
+    canon = getattr(con, "canon", None)
+    if canon is None:
+        return None
+    kind = canon[0]
+    if kind == "sphere":
+        _, coords, ctr, b = canon
+        if any(c >= n for c in coords):
+            return None
+        if bool(np.any(con.equality)):
+            return None
+        return ("sphere", coords, ctr, b)
+    if kind == "linear":
+        _, rows, off = canon
+        zrows = []
+        for is_u, idx, sign in rows:
+            col = n + idx if is_u else idx
+            if (is_u and idx >= m) or (not is_u and idx >= n):
+                return None
+            zrows.append((col, sign))
+        return ("linear", tuple(zrows), off, tuple(bool(e) for e in con.equality))
+    return None
+
+
+def canonical_stack(cs, n: int, m: int, dtype=jnp.float32) -> Optional[CanonStack]:
+    """Compile a ConstraintSet into (spec, data) for the fused AL kernels.
+
+    Returns None if any constraint lacks a canonical descriptor.
+    """
+    if cs.P == 0:
+        return CanonStack(spec=(), data=(), P=0)
+    spec = []
+    data = []
+    for con, (r0, r1) in zip(cs.cons, cs.slices):
+        c = constraint_canon(con, n, m)
+        if c is None:
+            return None
+        if c[0] == "sphere":
+            _, coords, ctr, b = c
+            spec.append(("sphere", r0, r1, coords))
+            data.append(jnp.asarray(ctr.T[:, :, None], dtype))      # (D, p, 1)
+            data.append(jnp.asarray(b[:, None], dtype))             # (p, 1)
+        else:
+            _, zrows, off, eqs = c
+            p = len(zrows)
+            used = sorted({col for col, _ in zrows})
+            sel = np.zeros((p, len(used)), np.float64)
+            for i, (col, sign) in enumerate(zrows):
+                sel[i, used.index(col)] = sign
+            spec.append(("linear", r0, r1, tuple(used)))
+            data.append(jnp.asarray(off[:, None], dtype))           # (p, 1)
+            data.append(jnp.asarray(
+                np.asarray(eqs, np.float64)[:, None], dtype))       # (p, 1)
+            data.append(jnp.asarray(sel.T[:, :, None], dtype))      # (ncols, p, 1)
+            data.append(jnp.asarray(sel[:, :, None], dtype))        # (p, ncols, 1)
+    return CanonStack(spec=tuple(spec), data=tuple(data), P=cs.P)
+
+
+# ------------------------------------------------- host-side reference math
+#
+# Pure-jnp evaluation of the canonical stack (batch-free, (N, ·) layout) —
+# used by tests to pin the canonical data against ConstraintSet.evaluate
+# and by the custom_vmap fallbacks. Must match the in-kernel math exactly.
+
+def canon_evaluate(stack: CanonStack, n: int, m: int, X, U_pad):
+    """C (N, P) from canonical data — rows NOT masked (callers rely on
+    masked λ/μ). Mirrors the kernel's per-knot evaluation."""
+    N = X.shape[0]
+    dtype = X.dtype
+    cols = [jnp.zeros((N, 0), dtype)]
+    di = 0
+    Z = jnp.concatenate([X, U_pad], axis=1)
+    for entry in stack.spec:
+        if entry[0] == "sphere":
+            _, r0, r1, coords = entry
+            ctrT, b = stack.data[di], stack.data[di + 1]
+            di += 2
+            acc = b[None, :, 0]                                 # (1, p)
+            for d, c in enumerate(coords):
+                v = X[:, c:c + 1] - ctrT[d, :, 0][None]         # (N, p)
+                acc = acc - v * v
+            cols.append(acc)
+        else:
+            _, r0, r1, used = entry
+            off, eqm, selT, sel = stack.data[di:di + 4]
+            di += 4
+            acc = jnp.broadcast_to(off[None, :, 0], (N, off.shape[0]))
+            for j, col in enumerate(used):
+                acc = acc + selT[j, :, 0][None] * Z[:, col:col + 1]
+            cols.append(acc)
+    return jnp.concatenate(cols, axis=1)

@@ -120,6 +120,9 @@ def obstacle_field_constraint(circles: Sequence[tuple], label="obstacles",
         return {"x": lx, "xx": lxx}
 
     con.al_terms = al_terms
+    from trajopt_tpu.ops.canonical import sphere_canon
+
+    con.canon = sphere_canon((0, 1), arr[:, :2], r**2)
     return con
 
 
@@ -144,6 +147,9 @@ def goal_constraint(xf, label="goal"):
         return {"x": g, "xx": imu[:, :, None] * eye}
 
     con.al_terms = al_terms
+    from trajopt_tpu.ops.canonical import linear_canon
+
+    con.canon = linear_canon([(False, i, 1.0) for i in range(n)], -xf)
     return con
 
 
@@ -176,6 +182,10 @@ def infeasible_constraint(n, m, label="infeasible"):
         return {"u": lu, "uu": luu}
 
     con.al_terms = al_terms
+    from trajopt_tpu.ops.canonical import linear_canon
+
+    con.canon = linear_canon([(True, m + j, 1.0) for j in range(n)],
+                             np.zeros(n))
     return con
 
 
@@ -257,6 +267,18 @@ def bound_constraint(n, m, x_min=None, x_max=None, u_min=None, u_max=None,
         return out
 
     con.al_terms = al_terms
+    from trajopt_tpu.ops.canonical import linear_canon
+
+    rows, offs = [], []
+    for i in ixmax:
+        rows.append((False, int(i), 1.0)); offs.append(-x_max[i])
+    for j in iumax:
+        rows.append((True, int(j), 1.0)); offs.append(-u_max[j])
+    for i in ixmin:
+        rows.append((False, int(i), -1.0)); offs.append(x_min[i])
+    for j in iumin:
+        rows.append((True, int(j), -1.0)); offs.append(u_min[j])
+    con.canon = linear_canon(rows, np.asarray(offs))
     # stage/terminal row masks: u rows inactive at the terminal knot
     con.term_rows = np.concatenate([
         np.ones(len(ixmax), bool), np.zeros(len(iumax), bool),

@@ -359,6 +359,10 @@ def quad_obs(dtype=jnp.float64):
 
     sph_con = Constraint(sphere_fn, len(spheres), "spheres", equality=False,
                          applies="stage")
+    from trajopt_tpu.ops.canonical import sphere_canon
+
+    sph_con.canon = sphere_canon((0, 1, 2), sph[:, :3],
+                                 (sph[:, 3] + r_quad) ** 2)
 
     u_min, u_max = 0.0, 50.0
     x_max = np.full(n, np.inf)

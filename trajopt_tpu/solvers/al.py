@@ -17,8 +17,23 @@ import jax.numpy as jnp
 from trajopt_tpu.ops.cost import Expansion, cost_expansion, total_cost
 from trajopt_tpu.ops.constraints import ConstraintSet
 from trajopt_tpu.problem import Problem
-from trajopt_tpu.solvers.ilqr import ILQRResult, iLQROptions, ilqr_solve
+from trajopt_tpu.solvers.ilqr import (
+    ALFusedMeta, ILQRResult, iLQROptions, ilqr_solve,
+)
 from trajopt_tpu.utils.tree import precise, static_dataclass
+
+
+def _al_fused_canon(prob: Problem, opts: ALOptions):
+    """Canonical constraint stack for the AL-aware fused kernels — built
+    once per trace when the inner solver opts into ``fused`` and every
+    constraint is data-representable (ops/canonical.py); None otherwise
+    (the solver keeps the closure-based phases)."""
+    if not opts.opts_uncon.fused:
+        return None
+    from trajopt_tpu.ops.canonical import canonical_stack
+
+    return canonical_stack(prob.constraints, prob.model.n, prob.model.m,
+                           dtype=prob.U.dtype)
 
 
 @static_dataclass
@@ -179,6 +194,7 @@ def al_lane_stepper(prob: Problem, opts: ALOptions, constraint_tolerance=None,
         jnp.asarray(opts.penalty_initial if mu_init is None else mu_init,
                     dtype), (N, P)) * cs.mask
     atol = opts.active_constraint_tolerance
+    canon = _al_fused_canon(prob, opts) if cs.P > 0 else None
     big = jnp.asarray(jnp.inf, dtype)
 
     def init(x0, U0):
@@ -206,9 +222,12 @@ def al_lane_stepper(prob: Problem, opts: ALOptions, constraint_tolerance=None,
                                  opts.gradient_norm_tolerance_intermediate)
         cost_fn, expansion_fn = al_cost_fns(prob.obj, cs, dt_traj, st.lam,
                                             st.mu, atol)
+        meta = None if canon is None else ALFusedMeta(
+            objective=prob.obj, cs=cs, canon=canon, lam=st.lam, mu=st.mu,
+            atol=atol)
         res = ilqr_solve(prob.model, cost_fn, expansion_fn, st.x0, st.X,
                          st.U, dt_traj, opts.opts_uncon,
-                         cost_tol=cost_tol, grad_tol=grad_tol)
+                         cost_tol=cost_tol, grad_tol=grad_tol, al_meta=meta)
         C = cs.evaluate(res.X, res.U)
         c_max_new = cs.max_violation(C)
         if opts.outer_loop_update_type == "feedback":
@@ -294,11 +313,16 @@ def al_solve(
 
     atol = opts.active_constraint_tolerance
 
+    canon = _al_fused_canon(prob, opts)
+
     def inner_solve(X, U, lam, mu, cost_tol, grad_tol):
         cost_fn, expansion_fn = al_cost_fns(prob.obj, cs, dt_traj, lam, mu, atol)
+        meta = None if canon is None else ALFusedMeta(
+            objective=prob.obj, cs=cs, canon=canon, lam=lam, mu=mu,
+            atol=atol)
         return ilqr_solve(prob.model, cost_fn, expansion_fn, prob.x0, X, U,
                           dt_traj, opts.opts_uncon,
-                          cost_tol=cost_tol, grad_tol=grad_tol)
+                          cost_tol=cost_tol, grad_tol=grad_tol, al_meta=meta)
 
     def cond_fn(st):
         X, U, lam, mu, c_max, J, it, it_total, grad, converged, hist = st

@@ -92,6 +92,11 @@ def lift_constraint(con: Constraint, n: int, m: int) -> Constraint:
     tr = getattr(con, "term_rows", None)
     if tr is not None:
         lifted.term_rows = tr
+    # canonical row descriptors are dimension-relative (x coords and u
+    # indices are unchanged by trailing augmentation) — copy verbatim
+    canon = getattr(con, "canon", None)
+    if canon is not None:
+        lifted.canon = canon
     hook = getattr(con, "al_terms", None)
     if hook is not None:
         # structured AL contributions (ConstraintSet.al_expansion_terms):
@@ -160,6 +165,11 @@ def infeasible_problem(prob: Problem, R_inf: float = 1.0) -> Problem:
         # layout: u is (m+n, B)) — keeps the Pallas forward pass active
         # through the infeasible-start transform
         model_inf.step_lanes = lambda x, u, dt: base_lanes(x, u[:m], dt) + u[m:]
+        # fused-AL jacobian shortcut: the slack columns are exactly I, so
+        # the in-kernel linearization only needs the base step (see
+        # ops/pallas_al_fused._step_jac_cols)
+        model_inf.base_step_lanes = base_lanes
+        model_inf.slack_m = m
         if getattr(base, "state_diff_lanes", None) is not None:
             model_inf.state_diff_lanes = base.state_diff_lanes
 

@@ -864,6 +864,205 @@ def _fused_bp_dispatch(model, opts: iLQROptions):
     return fbp
 
 
+class ALFusedMeta(NamedTuple):
+    """Metadata enabling the AL-aware fused iteration kernels
+    (ops/pallas_al_fused.py) for a constrained inner solve: the plain
+    quadratic objective, the constraint set, its canonical (data-only)
+    stack, and the CURRENT duals/penalties. ``lam``/``mu`` are traced
+    (N, P) arrays — batched under vmap; everything else is trace-constant.
+    The decorated cost/expansion they imply must equal the closures the
+    solver was called with (solvers/al.py builds both from the same
+    al_cost_fns)."""
+
+    objective: object          # ops.cost.Objective
+    cs: object                 # ops.constraints.ConstraintSet
+    canon: object              # ops.canonical.CanonStack
+    lam: jnp.ndarray           # (N, P)
+    mu: jnp.ndarray            # (N, P)
+    atol: float                # static active-set tolerance
+
+
+def _fused_al_eligible(model, opts: iLQROptions, meta):
+    from trajopt_tpu.ops.cost import Objective
+
+    return (opts.fused
+            and meta is not None
+            and meta.canon is not None
+            and isinstance(meta.objective, Objective)
+            and getattr(model, "step_lanes", None) is not None
+            and opts.bp_type == "scan"
+            and not opts.square_root
+            and not opts.error_state
+            and opts.bp_step_limit == 0.0
+            and opts.max_state_value == 1e8
+            and opts.max_control_value == 1e8)
+
+
+def _fused_al_bp_tile_bytes(N, n, m, P):
+    """Per-128-lane-tile VMEM bytes of the AL fused backward kernel
+    (adds the (N, P) λ/μ stacks and the AL scratch to the plain tile)."""
+    return 4 * 128 * (N * n + (N - 1) * (m + m * n + m) + 2 * N * P
+                      + 2 * n + m + 2 * n * n + m * m + 6)
+
+
+def _fused_al_fp_tile_bytes(N, n, m, P):
+    return 4 * 128 * (3 * N * n + 3 * (N - 1) * m + (N - 1) * m * n
+                      + 2 * N * P + n + 16)
+
+
+def _make_fused_al_dispatches(model, opts: iLQROptions, meta: ALFusedMeta):
+    """Build (bp, fp) custom_vmap callables for the AL fused iteration.
+
+    Batched TPU f32 solves run the Pallas kernels; everything else falls
+    back to the exact closure semantics (al_cost_fns → scan BP / batched
+    line search). Captured closures hold only trace-independent objects
+    (model, opts, cs, canonical data built from numpy); anything that may
+    be COMPUTED under a trace — dt_traj, the objective (the infeasible
+    transform builds it with jnp ops inside the jitted batch drivers),
+    λ/μ — is an explicit argument: custom_vmap cannot lower closure
+    constants that are tracers of an outer trace."""
+    from jax.custom_batching import custom_vmap
+
+    cs, canon, atol = meta.cs, meta.canon, meta.atol
+    model_fns = (model.step_lanes,
+                 getattr(model, "base_step_lanes", None),
+                 getattr(model, "slack_m", None))
+    reg_state = opts.bp_reg_type == "state"
+
+    def _cost_fns(obj, dt_traj, lam, mu):
+        from trajopt_tpu.solvers.al import al_cost_fns
+
+        return al_cost_fns(obj, cs, dt_traj, lam, mu, atol)
+
+    def _bp_single(X, U, dt_traj, obj, lam, mu, rho, drho):
+        _, expansion_fn = _cost_fns(obj, dt_traj, lam, mu)
+        A, B = model.jacobian_traj(X[:-1], U, dt_traj)
+        exp = expansion_fn(X, U)
+        return _backward_pass_impl(A, B, exp, rho, drho, opts)
+
+    def _bc_obj(obj, in_b, axis_size):
+        return jax.tree_util.tree_map(
+            lambda x, bb: x if bb else jnp.broadcast_to(
+                x, (axis_size,) + jnp.shape(x)), obj, in_b)
+
+    @custom_vmap
+    def fbp(X, U, dt_traj, obj, lam, mu, rho, drho):
+        return _bp_single(X, U, dt_traj, obj, lam, mu, rho, drho)
+
+    @fbp.def_vmap
+    def _bp_rule(axis_size, in_batched, X, U, dt_traj, obj, lam, mu, rho,
+                 drho):
+        def bc(v, b):
+            return v if b else jnp.broadcast_to(
+                v, (axis_size,) + jnp.shape(v))
+
+        Xb = bc(X, in_batched[0])
+        Ub = bc(U, in_batched[1])
+        lamb = bc(lam, in_batched[4])
+        mub = bc(mu, in_batched[5])
+        rhob = bc(rho, in_batched[6])
+        drhob = bc(drho, in_batched[7])
+        obj_batched = any(jax.tree_util.tree_leaves(in_batched[3]))
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and axis_size % 128 == 0
+            and Xb.dtype == jnp.float32
+            and not in_batched[2]          # shared dt trajectory
+            and not obj_batched            # shared objective
+            and _fused_al_bp_tile_bytes(Xb.shape[1], Xb.shape[-1],
+                                        Ub.shape[-1], lamb.shape[-1])
+                < _PALLAS_VMEM_BUDGET
+        )
+        if use_pallas:
+            from trajopt_tpu.ops.pallas_al_fused import (
+                fused_al_backward_pallas,
+            )
+
+            def sweep(rho_v):
+                return fused_al_backward_pallas(
+                    model_fns, canon, Xb, Ub, lamb, mub, dt_traj, obj,
+                    rho_v, atol=atol, reg_state=reg_state)
+
+            K0, d0, v1, v2, fail0 = sweep(rhob)
+
+            def cond(st):
+                *_, fail, _r, _dr, att = st
+                return jnp.any(fail) & (att < opts.bp_max_attempts)
+
+            def body(st):
+                K, d, v1, v2, fail, rho_c, drho_c, att = st
+                rho_i, drho_i = reg_increase(rho_c, drho_c, opts)
+                rho_c = jnp.where(fail, rho_i, rho_c)
+                drho_c = jnp.where(fail, drho_i, drho_c)
+                K, d, v1, v2, fail = sweep(rho_c)
+                return (K, d, v1, v2, fail, rho_c, drho_c, att + 1)
+
+            K, d, v1, v2, fail, rhob, drhob, _ = jax.lax.while_loop(
+                cond, body, (K0, d0, v1, v2, fail0, rhob, drhob,
+                             jnp.zeros((), jnp.int32)))
+            rhob, drhob = reg_decrease(rhob, drhob, opts)
+            out = (K, d, v1, v2, rhob, drhob)
+        else:
+            dtb = bc(dt_traj, in_batched[2])
+            objb = _bc_obj(obj, in_batched[3], axis_size)
+            out = jax.vmap(_bp_single)(Xb, Ub, dtb, objb, lamb, mub, rhob,
+                                       drhob)
+        return out, tuple(True for _ in range(6))
+
+    opts_t = (opts.line_search_lower_bound, opts.line_search_upper_bound,
+              opts.iterations_linesearch, opts.bp_reg_min,
+              opts.bp_reg_increase_factor, opts.bp_reg_fp)
+
+    def _fp_single(x0, X, U, K, d, dV1, dV2, J_prev, rho, drho, alpha0,
+                   lam, mu, dt_traj, obj):
+        cost_fn, _ = _cost_fns(obj, dt_traj, lam, mu)
+        return forward_pass(model, cost_fn, x0, X, U, K, d, dV1, dV2,
+                            J_prev, rho, drho, dt_traj, opts, alpha0=alpha0)
+
+    @custom_vmap
+    def ffp(x0, X, U, K, d, dV1, dV2, J_prev, rho, drho, alpha0, lam, mu,
+            dt_traj, obj):
+        return _fp_single(x0, X, U, K, d, dV1, dV2, J_prev, rho, drho,
+                          alpha0, lam, mu, dt_traj, obj)
+
+    @ffp.def_vmap
+    def _fp_rule(axis_size, in_batched, *args):
+        def bc(v, b):
+            return v if b else jnp.broadcast_to(
+                v, (axis_size,) + jnp.shape(v))
+
+        argsb = [bc(v, b) for v, b in zip(args[:13], in_batched[:13])]
+        dt_traj, obj = args[13], args[14]
+        obj_batched = any(jax.tree_util.tree_leaves(in_batched[14]))
+        Xb, Ub, lamb = argsb[1], argsb[2], argsb[11]
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and axis_size % 128 == 0
+            and Xb.dtype == jnp.float32
+            and not in_batched[13]
+            and not obj_batched
+            and _fused_al_fp_tile_bytes(Xb.shape[1], Xb.shape[-1],
+                                        Ub.shape[-1], lamb.shape[-1])
+                < _PALLAS_VMEM_BUDGET
+        )
+        if use_pallas:
+            from trajopt_tpu.ops.pallas_al_fused import (
+                fused_al_forward_pallas,
+            )
+
+            out = fused_al_forward_pallas(
+                model.step_lanes, canon, *argsb, dt_traj, obj, opts_t,
+                atol=atol)
+        else:
+            dtb = bc(dt_traj, in_batched[13])
+            objb = _bc_obj(obj, in_batched[14], axis_size)
+            out = jax.vmap(lambda a, dt_, o_: _fp_single(*a, dt_, o_))(
+                tuple(argsb), dtb, objb)
+        return out, tuple(True for _ in range(6))
+
+    return fbp, ffp
+
+
 @functools.lru_cache(maxsize=None)
 def _fused_fp_dispatch(model, opts: iLQROptions):
     from jax.custom_batching import custom_vmap
@@ -941,6 +1140,7 @@ def ilqr_solve(
     rho0=None,
     do_rollout: bool = True,
     objective=None,
+    al_meta: Optional[ALFusedMeta] = None,
 ) -> ILQRResult:
     """Solve an unconstrained (or AL-wrapped) problem with iLQR
     (reference solve!, ilqr_methods.jl:3-45).
@@ -1008,12 +1208,20 @@ def ilqr_solve(
         return (~converged) & (it < opts.iterations) & (J_prev < opts.max_cost_value)
 
     use_fused = _fused_eligible(model, opts, objective)
+    use_fused_al = _fused_al_eligible(model, opts, al_meta)
+    if use_fused_al:
+        al_bp, al_fp = _make_fused_al_dispatches(model, opts, al_meta)
+        lam_al, mu_al = al_meta.lam, al_meta.mu
+        obj_al = al_meta.objective
 
     def body_fn(st):
         (X, U, K, d, J_prev, dJ, grad, rho_c, drho_c, dJ_zero, it, _,
          a_prev) = st
 
-        if use_fused:
+        if use_fused_al:
+            K, d, dV1, dV2, rho_c, drho_c = al_bp(
+                X, U, dt_traj, obj_al, lam_al, mu_al, rho_c, drho_c)
+        elif use_fused:
             K, d, dV1, dV2, rho_c, drho_c = _fused_bp_dispatch(model, opts)(
                 X, U, dt_traj, objective, rho_c, drho_c)
         else:
@@ -1029,7 +1237,13 @@ def ilqr_solve(
                                jnp.clip(2.0 * a_prev, 2.0 ** -10, 1.0), 1.0)
         else:
             alpha0 = None
-        if use_fused:
+        if use_fused_al:
+            Xn, Un, J, rho_c, drho_c, alpha = al_fp(
+                x0, X, U, K, d, dV1, dV2, J_prev, rho_c, drho_c,
+                jnp.ones((), dtype) if alpha0 is None
+                else jnp.asarray(alpha0, dtype),
+                lam_al, mu_al, dt_traj, obj_al)
+        elif use_fused:
             Xn, Un, J, rho_c, drho_c, alpha = _fused_fp_dispatch(model, opts)(
                 x0, X, U, K, d, dV1, dV2, J_prev, rho_c, drho_c,
                 jnp.ones((), dtype) if alpha0 is None
