@@ -386,6 +386,66 @@ def test_quadrotor_euler_matches_quaternion_model():
                        atol=1e-4)
 
 
+def test_generic_objective_analytic_hooks():
+    """User-supplied grad/hess override the AD expansion (reference
+    GenericCost's analytic grad/hess path, cost.jl:246-262). A deliberately
+    WRONG analytic gradient must show up in the expansion — proving the
+    hooks are used — and the correct analytic one must equal AD exactly."""
+    from trajopt_tpu.ops.cost import GenericObjective
+
+    n, m, N = 3, 2, 7
+    rng = np.random.default_rng(5)
+    Qj = jnp.asarray(np.eye(n) * 0.5)
+    Rj = jnp.asarray(np.eye(m) * 0.2)
+    Qfj = jnp.asarray(np.eye(n) * 3.0)
+
+    def ell(x, u):
+        return 0.5 * x @ Qj @ x + 0.5 * u @ Rj @ u
+
+    def ellf(x):
+        return 0.5 * x @ Qfj @ x
+
+    def grad(x, u):
+        return Qj @ x, Rj @ u
+
+    def hess(x, u):
+        return Qj, Rj, jnp.zeros((m, n))
+
+    obj_ad = GenericObjective(ell=ell, ellf=ellf, N=N)
+    obj_an = GenericObjective(ell=ell, ellf=ellf, N=N, grad=grad, hess=hess,
+                              gradf=lambda x: Qfj @ x, hessf=lambda x: Qfj)
+    X = jnp.asarray(rng.normal(size=(N, n)))
+    U = jnp.asarray(rng.normal(size=(N - 1, m)))
+    e0 = obj_ad.expansion(X, U, 0.1)
+    e1 = obj_an.expansion(X, U, 0.1)
+    for fld in ("x", "u", "xx", "uu", "ux"):
+        assert np.allclose(getattr(e0, fld), getattr(e1, fld), atol=1e-12)
+
+    obj_wrong = GenericObjective(ell=ell, ellf=ellf, N=N,
+                                 grad=lambda x, u: (2.0 * (Qj @ x), Rj @ u),
+                                 hess=hess)
+    e2 = obj_wrong.expansion(X, U, 0.1)
+    assert not np.allclose(e2.x[:-1], e1.x[:-1])
+
+
+def test_implicit_integrator_adaptive_tolerance():
+    """The implicit Newton loop is tolerance-driven (reference
+    integration.jl:44-104: iterate to 1e-12, abort at 1000), so a stiff
+    step that needs more than the old fixed 20 trips still converges to
+    the dtype tolerance instead of poisoning."""
+    from trajopt_tpu.ops.integration import midpoint_implicit
+
+    # heavily damped linear system: y = x + dt·(−50(x+y)/2) has the exact
+    # solution y = x(1−25dt)/(1+25dt); slow linear-ish convergence comes
+    # from a large dt·λ product
+    f = lambda x, u: -50.0 * x
+    x0 = jnp.array([1.0])
+    y = midpoint_implicit(f)(x0, jnp.zeros(1), 0.039)
+    assert bool(jnp.all(jnp.isfinite(y)))
+    exact = (1 - 25 * 0.039) / (1 + 25 * 0.039)
+    assert abs(float(y[0]) - exact) < 1e-10
+
+
 def test_implicit_integrator_nonconvergence_poisons():
     """A non-converged implicit Newton step must NOT return silent garbage:
     the reference errors after 1000 iterations (src/integration.jl:55-59);

@@ -61,7 +61,13 @@ class CanonStack(NamedTuple):
     """Kernel-ready canonical constraint stack.
 
     ``spec`` is static/hashable (drives kernel codegen); ``data`` is a flat
-    tuple of laneless jnp arrays consumed in order by the kernels:
+    tuple of laneless NUMPY arrays consumed in order by the kernels.
+    Numpy on purpose: the stack is built at trace time inside jitted batch
+    drivers, and custom_vmap closes its primal function over captured
+    values — jnp arrays created under a trace are tracers there and cannot
+    lower as jaxpr constants, while numpy constants always can.
+
+    data order:
 
     - sphere group: ctrT (D, p, 1), b (p, 1)
     - linear group: off (p, 1), eqm (p, 1), selT (ncols, p, 1),
@@ -110,6 +116,7 @@ def canonical_stack(cs, n: int, m: int, dtype=jnp.float32) -> Optional[CanonStac
     """
     if cs.P == 0:
         return CanonStack(spec=(), data=(), P=0)
+    np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
     spec = []
     data = []
     for con, (r0, r1) in zip(cs.cons, cs.slices):
@@ -119,8 +126,8 @@ def canonical_stack(cs, n: int, m: int, dtype=jnp.float32) -> Optional[CanonStac
         if c[0] == "sphere":
             _, coords, ctr, b = c
             spec.append(("sphere", r0, r1, coords))
-            data.append(jnp.asarray(ctr.T[:, :, None], dtype))      # (D, p, 1)
-            data.append(jnp.asarray(b[:, None], dtype))             # (p, 1)
+            data.append(np.asarray(ctr.T[:, :, None], np_dtype))    # (D, p, 1)
+            data.append(np.asarray(b[:, None], np_dtype))           # (p, 1)
         else:
             _, zrows, off, eqs = c
             p = len(zrows)
@@ -129,11 +136,11 @@ def canonical_stack(cs, n: int, m: int, dtype=jnp.float32) -> Optional[CanonStac
             for i, (col, sign) in enumerate(zrows):
                 sel[i, used.index(col)] = sign
             spec.append(("linear", r0, r1, tuple(used)))
-            data.append(jnp.asarray(off[:, None], dtype))           # (p, 1)
-            data.append(jnp.asarray(
-                np.asarray(eqs, np.float64)[:, None], dtype))       # (p, 1)
-            data.append(jnp.asarray(sel.T[:, :, None], dtype))      # (ncols, p, 1)
-            data.append(jnp.asarray(sel[:, :, None], dtype))        # (p, ncols, 1)
+            data.append(np.asarray(off[:, None], np_dtype))         # (p, 1)
+            data.append(np.asarray(
+                np.asarray(eqs, np.float64)[:, None], np_dtype))    # (p, 1)
+            data.append(np.asarray(sel.T[:, :, None], np_dtype))    # (ncols, p, 1)
+            data.append(np.asarray(sel[:, :, None], np_dtype))      # (p, ncols, 1)
     return CanonStack(spec=tuple(spec), data=tuple(data), P=cs.P)
 
 

@@ -205,11 +205,27 @@ class GenericObjective:
     (reference src/cost.jl:239-322, GenericCost via ForwardDiff).
 
     The stage cost is multiplied by dt to match the quadratic convention.
+
+    Optional ANALYTIC expansion hooks (reference GenericCost accepts
+    user-supplied grad/hess overriding the ForwardDiff path,
+    src/cost.jl:246-262):
+
+    - ``grad(x, u) -> (lx (n,), lu (m,))`` and
+      ``hess(x, u) -> (lxx, luu, lux)`` — derivatives of ℓ (un-scaled;
+      the expansion multiplies by dt exactly like the AD path),
+    - ``gradf(x) -> lx`` and ``hessf(x) -> lxx`` for ℓf.
+
+    Provide all four or none; partial overrides fall back to AD for the
+    missing pieces.
     """
 
     ell: Callable = static_field()
     ellf: Callable = static_field()
     N: int = static_field()
+    grad: Callable = static_field(default=None)
+    hess: Callable = static_field(default=None)
+    gradf: Callable = static_field(default=None)
+    hessf: Callable = static_field(default=None)
 
     @property
     def n(self):
@@ -237,20 +253,30 @@ def generic_total_cost(obj: GenericObjective, X, U, dt):
 def generic_cost_expansion(obj: GenericObjective, X, U, dt) -> Expansion:
     dt = jnp.broadcast_to(dt, U.shape[:-1])
 
-    gx = jax.grad(obj.stage, argnums=0)
-    gu = jax.grad(obj.stage, argnums=1)
-    hxx = jax.jacfwd(gx, argnums=0)
-    huu = jax.jacfwd(gu, argnums=1)
-    hux = jax.jacfwd(gu, argnums=0)
+    if obj.grad is not None:
+        lx_s, lu_s = jax.vmap(
+            lambda x, u, d: jax.tree_util.tree_map(
+                lambda g: g * d, obj.grad(x, u)))(X[:-1], U, dt)
+    else:
+        gx = jax.grad(obj.stage, argnums=0)
+        gu = jax.grad(obj.stage, argnums=1)
+        lx_s = jax.vmap(gx)(X[:-1], U, dt)
+        lu_s = jax.vmap(gu)(X[:-1], U, dt)
+    if obj.hess is not None:
+        lxx_s, luu_s, lux_s = jax.vmap(
+            lambda x, u, d: jax.tree_util.tree_map(
+                lambda h: h * d, obj.hess(x, u)))(X[:-1], U, dt)
+    else:
+        gx = jax.grad(obj.stage, argnums=0)
+        gu = jax.grad(obj.stage, argnums=1)
+        lxx_s = jax.vmap(jax.jacfwd(gx, argnums=0))(X[:-1], U, dt)
+        luu_s = jax.vmap(jax.jacfwd(gu, argnums=1))(X[:-1], U, dt)
+        lux_s = jax.vmap(jax.jacfwd(gu, argnums=0))(X[:-1], U, dt)
 
-    lx_s = jax.vmap(gx)(X[:-1], U, dt)
-    lu_s = jax.vmap(gu)(X[:-1], U, dt)
-    lxx_s = jax.vmap(hxx)(X[:-1], U, dt)
-    luu_s = jax.vmap(huu)(X[:-1], U, dt)
-    lux_s = jax.vmap(hux)(X[:-1], U, dt)
-
-    lxN = jax.grad(obj.terminal)(X[-1])
-    lxxN = jax.jacfwd(jax.grad(obj.terminal))(X[-1])
+    lxN = obj.gradf(X[-1]) if obj.gradf is not None \
+        else jax.grad(obj.terminal)(X[-1])
+    lxxN = obj.hessf(X[-1]) if obj.hessf is not None \
+        else jax.jacfwd(jax.grad(obj.terminal))(X[-1])
 
     lx = jnp.concatenate([lx_s, lxN[None]], axis=0)
     lxx = jnp.concatenate([lxx_s, lxxN[None]], axis=0)

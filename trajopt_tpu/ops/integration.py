@@ -67,7 +67,42 @@ def rk4(f: ContinuousFn):
     return step
 
 
-_IMPLICIT_ITERS = 20  # Newton iterations; reference iterates to 1e-12 (≤1000)
+_IMPLICIT_ITERS = 20   # fallback fixed trip count (quadratic convergence)
+_IMPLICIT_MAX_ITERS = 1000  # adaptive-mode abort bound (reference
+#                             src/integration.jl:55-59 errors after 1000)
+
+
+def _implicit_tol(x):
+    """Dtype-relative Newton tolerance: eps^0.75 · (1 + |x|) ≈ 1e-12 in
+    f64 (the reference's fixed 1e-12, integration.jl:52) and ≈ 2e-5 in
+    f32."""
+    eps = jnp.finfo(x.dtype).eps
+    return eps ** 0.75 * (1.0 + jnp.linalg.norm(x))
+
+
+def _newton_iterate(x, residual_fn, newton_fn):
+    """Tolerance-driven Newton iteration with a bounded trip count
+    (reference integration.jl:44-104: iterate to 1e-12, abort at 1000).
+
+    A ``lax.while_loop`` stops as soon as the residual meets the dtype
+    tolerance — stiff user dynamics get as many trips as they need (up to
+    the abort bound) instead of the old fixed 20, and easy steps exit in
+    2-4. The loop carries (y, it); forward-mode AD (jacfwd — how every
+    model Jacobian is taken) differentiates the converged iterate through
+    the while_loop JVP rule."""
+
+    def cond(st):
+        y, it = st
+        tol = _implicit_tol(x)
+        return (jnp.linalg.norm(residual_fn(y)) > tol) \
+            & (it < _IMPLICIT_MAX_ITERS)
+
+    def body(st):
+        y, it = st
+        return newton_fn(y), it + 1
+
+    y, _ = jax.lax.while_loop(cond, body, (x, jnp.zeros((), jnp.int32)))
+    return y
 
 
 def _poison_unconverged(y, g, x):
@@ -94,10 +129,10 @@ def midpoint_implicit(f: ContinuousFn):
     """Implicit midpoint rule (reference src/integration.jl:44-68).
 
     Solves y = x + dt*f((x+y)/2, u) by Newton iteration with the exact
-    state Jacobian of f (via jacfwd). Fixed trip count; converges
-    quadratically so 20 iterations reach fp64 tolerance on the bundled
-    models. A step whose final residual misses the dtype tolerance is
-    NaN-poisoned (see :func:`_poison_unconverged`).
+    state Jacobian of f (via jacfwd), iterating to the dtype tolerance
+    with a 1000-trip abort bound (see :func:`_newton_iterate`). A step
+    whose final residual misses the tolerance is NaN-poisoned
+    (see :func:`_poison_unconverged`).
     """
     jac_x = jax.jacfwd(f, argnums=0)
 
@@ -105,15 +140,17 @@ def midpoint_implicit(f: ContinuousFn):
         n = x.shape[-1]
         eye = jnp.eye(n, dtype=x.dtype)
 
-        def newton(_, y):
+        def residual(y):
+            return y - x - dt * f(0.5 * (x + y), u)
+
+        def newton(y):
             xm = 0.5 * (x + y)
             g = y - x - dt * f(xm, u)
             dg = eye - 0.5 * dt * jac_x(xm, u)
             return y - jnp.linalg.solve(dg, g)
 
-        y = jax.lax.fori_loop(0, _IMPLICIT_ITERS, newton, x)
-        g = y - x - dt * f(0.5 * (x + y), u)
-        return _poison_unconverged(y, g, x)
+        y = _newton_iterate(x, residual, newton)
+        return _poison_unconverged(y, residual(y), x)
 
     return step
 
@@ -136,7 +173,7 @@ def rk3_implicit(f: ContinuousFn):
             return (y - x - dt / 6.0 * fc1 - 4.0 / 6.0 * dt * fc2
                     - dt / 6.0 * fc3)
 
-        def newton(_, y):
+        def newton(y):
             fc3 = f(y, u)
             xm = 0.5 * (x + y) + dt / 8.0 * (fc1 - fc3)
             g = residual(y)
@@ -145,7 +182,7 @@ def rk3_implicit(f: ContinuousFn):
             dg = eye - 4.0 / 6.0 * dt * a1 @ (0.5 * eye - dt / 8.0 * a2) - dt / 6.0 * a2
             return y - jnp.linalg.solve(dg, g)
 
-        y = jax.lax.fori_loop(0, _IMPLICIT_ITERS, newton, x)
+        y = _newton_iterate(x, residual, newton)
         return _poison_unconverged(y, residual(y), x)
 
     return step

@@ -248,6 +248,33 @@ def solve_batch_warm(prob: Problem, opts, x0s, lanes: int = 128,
                               constraint_tolerance=constraint_tolerance)
 
 
+def pn_polish_batch(prob: Problem, Xs, Us, opts=None):
+    """Batched projected-Newton polish of a pool of AL-converged
+    trajectories — the batch-scale version of ALTRO's AL → PN handoff
+    (reference altro_methods.jl:30-40 + projected_newton.jl:200-324, and
+    the altro_times.txt:17-27 maze polish). Each lane's problem is the
+    TEMPLATE re-seeded with that lane's solved (X, U) (x0 taken from the
+    trajectory, matching the dispersed pool), then ``pn_solve`` projects
+    it to machine-precision feasibility; everything vmaps into one
+    compiled program of batched block-tridiagonal Cholesky solves (MXU
+    q×q block matmuls).
+
+    Returns a PNResult with a leading batch axis. Quality: c_max ≤ ~1e-8
+    in f64; ~1e-6 on TPU f32 with the iterative-refinement loop
+    (tests/test_pn.py, benchmark/pn_polish.py).
+    """
+    from trajopt_tpu.solvers.projected_newton import PNOptions, pn_solve
+
+    if opts is None:
+        opts = PNOptions()
+
+    def one(X, U):
+        p = update_problem(prob, x0=X[0], X=X, U=U)
+        return pn_solve(p, opts)
+
+    return jax.vmap(one)(Xs, Us)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     devices = np.array(jax.devices()[: n_devices] if n_devices else jax.devices())
     return Mesh(devices, (axis,))
