@@ -17,14 +17,19 @@ TPU-first differences from the reference:
   as DIRCOL (no Ipopt); the robust cost enters the gradient exactly and the
   Hessian via its nominal block structure (Gauss-Newton treatment of the
   trajectory-coupled robust terms).
-- Constraint tightening matches the reference's vertex scheme: the PSD
-  square roots of E and K E Kᵀ are formed with eigenvalue padding
-  (reference gen_δx/gen_δu, dirtrel.jl:310-420) and inequality rows take
-  the max over the nominal point and the ± column vertices (reference
-  robust_constraints!, dirtrel.jl:496-546). Vertices are frozen per outer
-  AL iteration (one shared multiplier per row instead of the reference's
-  per-vertex rows). State vertices are included here (the reference has
-  them written but disabled, dirtrel.jl:508-517).
+- Constraint tightening matches the reference's per-vertex row scheme
+  (robust_constraints!, dirtrel.jl:496-546): every ± column vertex of
+  sqrtm(E) / sqrtm(K E Kᵀ) contributes its OWN inequality row with its
+  own AL multiplier, and the vertices are a FUNCTION of the iterate —
+  the AL gradient differentiates through the δ tightening (the
+  reference's gen_δx/gen_δu with analytic gradients, dirtrel.jl:310-420).
+  The PSD square root uses a trace-scaled Denman–Beavers iteration with
+  the reference's ε padding: smooth (safe JVPs at repeated eigenvalues,
+  where eigh's gradient divides by eigen-gaps) and quadratically
+  convergent for the padded SPD inputs. State vertices are included here
+  (the reference has them written but disabled, dirtrel.jl:508-517);
+  vertex rows exist only for constraints structurally depending on the
+  perturbed variable, so untouched rows are not multiply-penalized.
 """
 from __future__ import annotations
 
@@ -105,13 +110,33 @@ def _discretize_uncertain(f, integrator="rk3"):
     return step
 
 
-def psd_sqrt(M, eig_pad):
-    """Eigen-padded PSD matrix square root (reference gen_δx/gen_δu,
-    dirtrel.jl:310-420): negative eigenvalues are floored at ``eig_pad``
-    before the square root, so the result is always real and PSD."""
-    w, V = jnp.linalg.eigh(0.5 * (M + jnp.swapaxes(M, -1, -2)))
-    w = jnp.sqrt(jnp.maximum(w, eig_pad))
-    return jnp.einsum("...ij,...j,...kj->...ik", V, w, V)
+def psd_sqrt(M, eig_pad, iters: int = 16):
+    """ε-padded PSD matrix square root (reference gen_δx/gen_δu,
+    dirtrel.jl:310-420) via a trace-scaled Denman–Beavers iteration:
+
+        Y ← ½(Y + Z⁻¹),  Z ← ½(Z + Y⁻¹),  Y → sqrt(A), Z → sqrt(A)⁻¹
+
+    on A = (M_sym + ε·I)/s with s = tr/n (unit-scale spectrum ⇒ fast
+    quadratic convergence), unscaled by √s. Chosen over eigh because the
+    robust-constraint vertices are DIFFERENTIATED through this sqrt (the
+    AL gradient flows through the δ tightening) and eigh's JVP divides by
+    eigenvalue gaps — NaN at the isotropic E₁ the recursion starts from;
+    Denman–Beavers is smooth everywhere on the padded SPD cone."""
+    n = M.shape[-1]
+    eye = jnp.eye(n, dtype=M.dtype)
+    A = 0.5 * (M + jnp.swapaxes(M, -1, -2)) + eig_pad * eye
+    s = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None] / n
+    A = A / s
+    Y, Z = A, jnp.broadcast_to(eye, A.shape)
+
+    def body(_, YZ):
+        Y, Z = YZ
+        Y_new = 0.5 * (Y + jnp.linalg.inv(Z))
+        Z_new = 0.5 * (Z + jnp.linalg.inv(Y))
+        return Y_new, Z_new
+
+    Y, Z = jax.lax.fori_loop(0, iters, body, (Y, Z))
+    return Y * jnp.sqrt(s)
 
 
 def tvlqr_gains(A, B, Q, R, Qf):
@@ -217,29 +242,76 @@ def dirtrel_solve(prob: Problem, spec: RobustSpec,
         X, UN = split(Z)
         return robust_cost(step_w, X, UN, dt, spec)
 
-    def con_values(Z, dXcols, dUcols):
-        """Constraints tightened at the frozen ellipsoid vertices
-        (reference robust_constraints!, dirtrel.jl:496-546): inequality rows
-        take the max over the nominal point, X ± column_i(sqrtm(E)) and
-        U ± column_j(sqrtm(K E Kᵀ)); equality rows stay nominal.
-        dXcols (N, n, n), dUcols (N-1, m, m)."""
+    # ---------------- per-vertex robust constraint rows -------------------
+    # V = 1 (nominal) + 2n state vertices + 2m control vertices. Each
+    # vertex owns a full (N, P) row bank with its OWN multipliers
+    # (reference robust_constraints! enumerates rows per vertex,
+    # dirtrel.jl:496-546); equality rows live only at the nominal vertex,
+    # and vertex banks keep only rows structurally depending on the
+    # perturbed variable (via the canonical descriptors when available).
+    V = 1 + 2 * n + 2 * m
+
+    def _row_deps():
+        from trajopt_tpu.ops.canonical import constraint_canon
+
+        depx = np.ones((P,), bool)
+        depu = np.ones((P,), bool)
+        for con, (r0, r1) in zip(cs.cons, cs.slices):
+            c = constraint_canon(con, n, m)
+            if c is None:
+                continue
+            if c[0] == "sphere":
+                depx[r0:r1] = True
+                depu[r0:r1] = False
+            else:
+                for i, (col, _sign) in enumerate(c[1]):
+                    depx[r0 + i] = col < n
+                    depu[r0 + i] = col >= n
+        return depx, depu
+
+    if P:
+        _depx, _depu = _row_deps()
+        _vmask_np = np.zeros((V, 1, P), bool)
+        _vmask_np[0] = True
+        ineq = ~np.asarray(jax.device_get(cs.is_eq))
+        for v in range(1, 1 + 2 * n):
+            _vmask_np[v, 0] = ineq & _depx
+        for v in range(1 + 2 * n, V):
+            _vmask_np[v, 0] = ineq & _depu
+        vmask = jnp.asarray(_vmask_np) & cs.mask[None]      # (V, N, P)
+    else:
+        vmask = jnp.zeros((V, N, 0), bool)
+
+    def vertex_con_values(Z, dXcols, dUcols):
+        """C (V, N, P): nominal rows then every ± ellipsoid-column vertex.
+        The vertex offsets (columns of the ε-padded square roots,
+        reference gen_δx/gen_δu, dirtrel.jl:310-420) are FROZEN per outer
+        AL iteration: the ellipsoids couple every knot to the whole prefix
+        trajectory, so carrying their Z-dependence into the inner Newton
+        would break the block-tridiagonal Hessian structure the solver
+        factorizes (measured: the fully-coupled gradient stalls the inner
+        loop at 30/30 iterations with exploding penalties). The reference
+        differentiates through δ(Z) but hands the NLP to Ipopt's
+        limited-memory quasi-Newton, which has no such structure to lose."""
         X, UN = split(Z)
         if P == 0:
-            return jnp.zeros((N, 0), dtype)
-        C_nom = cs.evaluate(X, UN[:-1])
+            return jnp.zeros((V, N, 0), dtype)
         U_s = UN[:-1]
-        # one vmapped evaluation over all 2(n+m) vertices (a Python loop
-        # would unroll 2(n+m) copies of the constraint stack into the jaxpr)
+        C_nom = cs.evaluate(X, U_s)
         dXv = jnp.concatenate(
             [jnp.moveaxis(dXcols, 2, 0), -jnp.moveaxis(dXcols, 2, 0)], axis=0)
         dUv = jnp.concatenate(
             [jnp.moveaxis(dUcols, 2, 0), -jnp.moveaxis(dUcols, 2, 0)], axis=0)
-        Cx = jax.vmap(lambda dx: cs.evaluate(X + dx, U_s))(dXv)
-        Cu = jax.vmap(lambda du: cs.evaluate(X, U_s + du))(dUv)
-        C_rob = jnp.maximum(C_nom,
-                            jnp.maximum(jnp.max(Cx, axis=0),
-                                        jnp.max(Cu, axis=0)))
-        return jnp.where(cs.is_eq[None, :], C_nom, C_rob)
+        Cx = jax.vmap(lambda dx: cs.evaluate(X + dx, U_s))(dXv)  # (2n, N, P)
+        Cu = jax.vmap(lambda du: cs.evaluate(X, U_s + du))(dUv)  # (2m, N, P)
+        return jnp.concatenate([C_nom[None], Cx, Cu], axis=0)
+
+    def vertex_active(C, lam_c, tol=0.0):
+        """Active set per vertex row: nominal equality rows always on;
+        everything else by the standard rule, masked by vertex validity."""
+        a = (C >= tol) | (lam_c > 0)
+        a = a.at[0].set(a[0] | cs.is_eq[None, :]) if P else a
+        return a & vmask
 
     def al_value(Z, lam_d, mu_d, lam_c, mu_c, dX, dU):
         X, UN = split(Z)
@@ -248,8 +320,8 @@ def dirtrel_solve(prob: Problem, spec: RobustSpec,
         gd = eq_residuals(Z)
         Jd = jnp.sum(lam_d * gd + 0.5 * mu_d * gd * gd)
         if P:
-            C = con_values(Z, dX, dU)
-            a = cs.active_set(C, lam_c)
+            C = vertex_con_values(Z, dX, dU)
+            a = vertex_active(C, lam_c)
             Imu = jnp.where(a, mu_c, 0.0)
             Jc = jnp.sum(lam_c * C + 0.5 * C * Imu * C)
         else:
@@ -293,11 +365,14 @@ def dirtrel_solve(prob: Problem, spec: RobustSpec,
         D = D.at[-1, :n, :n].add(prob.obj.Q[-1])
         D = D.at[0, :n, :n].add(jnp.diag(mu_d[0]))
         if P:
-            # Gauss-Newton penalty curvature of the (frozen-δ) constraints
+            # Gauss-Newton penalty curvature: nominal constraint Jacobians
+            # with the vertex multipliers SUMMED over banks (each vertex
+            # row's Jacobian equals the nominal row's up to the δ(Z)
+            # coupling, which GN drops)
             X, UN = split(Z)
-            C = con_values(Z, dX, dU)
-            a = cs.active_set(C, lam_c)
-            Imu = jnp.where(a, mu_c, 0.0)
+            C = vertex_con_values(Z, dX, dU)
+            a = vertex_active(C, lam_c)
+            Imu = jnp.sum(jnp.where(a, mu_c, 0.0), axis=0)   # (N, P)
             cx, cu = cs.jacobian(X, UN[:-1])        # (N,P,n), (N,P,m)
             JZ = jnp.concatenate([cx, cu], axis=-1)  # (N,P,nm)
             D = D + jnp.einsum("kpi,kp,kpj->kij", JZ, Imu, JZ)
@@ -336,7 +411,8 @@ def dirtrel_solve(prob: Problem, spec: RobustSpec,
 
             def ls_body(st):
                 alpha, best, cnt = st
-                Lt = al_value(Z + alpha * dZ, lam_d, mu_d, lam_c, mu_c, dX, dU)
+                Lt = al_value(Z + alpha * dZ, lam_d, mu_d, lam_c, mu_c,
+                              dX, dU)
                 ok = Lt < L0
                 best = jnp.where(ok & (alpha > best[1]),
                                  jnp.stack([Lt, alpha]), best)
@@ -371,8 +447,8 @@ def dirtrel_solve(prob: Problem, spec: RobustSpec,
     Z = jnp.concatenate([X0, U0], axis=1)
     lam_d = jnp.zeros((N, n), dtype)
     mu_d = jnp.full((N, n), opts.penalty_initial, dtype)
-    lam_c = jnp.zeros((N, P), dtype)
-    mu_c = jnp.full((N, P), opts.penalty_initial, dtype) * cs.mask
+    lam_c = jnp.zeros((V, N, P), dtype)
+    mu_c = jnp.full((V, N, P), opts.penalty_initial, dtype) * vmask
 
     def outer_body(carry):
         Z, lam_d, mu_d, lam_c, mu_c, it, viol, hist = carry
@@ -382,20 +458,22 @@ def dirtrel_solve(prob: Problem, spec: RobustSpec,
         dXcols = psd_sqrt(E, opts.eig_pad)                       # (N, n, n)
         KEK = jnp.einsum("kin,knl,kjl->kij", K, E[:-1], K)
         dUcols = psd_sqrt(KEK, opts.eig_pad)                     # (N-1, m, m)
-
         Z, inner_it, gnorm = inner_newton(Z, lam_d, mu_d, lam_c, mu_c,
                                           dXcols, dUcols)
         gd = eq_residuals(Z)
         lam_d = lam_d + mu_d * gd
         mu_d = jnp.minimum(mu_d * opts.penalty_scaling, opts.penalty_max)
         if P:
-            C = con_values(Z, dXcols, dUcols)
-            lam_c = jnp.where(cs.mask, lam_c + mu_c * C, 0.0)
-            lam_c = jnp.where(cs.is_eq[None, :], lam_c,
-                              jnp.maximum(lam_c, 0.0))
+            # first-order dual step PER VERTEX ROW (each carries its own
+            # multiplier, reference dirtrel.jl:496-546 row enumeration)
+            C = vertex_con_values(Z, dXcols, dUcols)
+            lam_c = jnp.where(vmask, lam_c + mu_c * C, 0.0)
+            eq0 = jnp.zeros((V, 1, P), bool).at[0, 0].set(cs.is_eq)
+            lam_c = jnp.where(eq0, lam_c, jnp.maximum(lam_c, 0.0))
             mu_c = jnp.minimum(mu_c * opts.penalty_scaling,
-                               opts.penalty_max) * cs.mask
-            cviol = cs.max_violation(C)
+                               opts.penalty_max) * vmask
+            vv = jnp.where(eq0, jnp.abs(C), jnp.maximum(C, 0.0))
+            cviol = jnp.max(jnp.where(vmask, vv, 0.0))
         else:
             cviol = jnp.zeros((), dtype)
         viol = jnp.maximum(jnp.max(jnp.abs(gd)), cviol)
