@@ -11,6 +11,7 @@ pure vectorized arithmetic that vmap turns into lane-parallel VPU code.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -20,8 +21,20 @@ def posdef_solve(S, rhs):
 
     Returns (X, fail) where fail = True iff a pivot is ≤ 0 or non-finite
     (the `isposdef` check of reference backward_pass.jl:52).
+
+    The elimination runs Jacobi-equilibrated (D·S·D with D = diag(1/√S_ii),
+    solution unscaled): AL-decorated Quu mixes penalty rows ~μ with R_inf
+    slack rows across ~16 decades, and the raw f32 pivots failed at
+    κ ~ 1/ε_f32 — triggering ρ-retry re-sweeps that dominated maze device
+    time (profiled; see ops/pallas_riccati._posdef_solve_lanes, whose
+    failure semantics this matches). Scaled pivots are O(1); only genuine
+    indefiniteness fails.
     """
     m = S.shape[-1]
+    tiny = 1e-30 if S.dtype == jnp.float32 else 1e-300
+    d = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S), tiny))
+    S = S * d[:, None] * d[None, :]
+    rhs = rhs * d[:, None]
     Aug = jnp.concatenate([S, rhs], axis=-1)          # (m, m+k)
     fail = jnp.asarray(False)
     rows = [Aug[i] for i in range(m)]
@@ -39,7 +52,7 @@ def posdef_solve(S, rhs):
             r = r - r[j] * rows[j]
         rows[i] = r / rows[i][i]
     X = jnp.stack([rows[i][m:] for i in range(m)])
-    return X, fail
+    return X * d[:, None], fail
 
 
 def spd_solve_vec(H, b):

@@ -88,6 +88,16 @@ def _posdef_solve_lanes(S, rhs):
     reductions measured no gain), so ~8 large vector ops per pivot beat
     ~3(m−i) tiny (1, B)-row ops. Static 0/1 row masks keep shapes fixed.
 
+    JACOBI EQUILIBRATION (round 4): the elimination runs on D·S·D with
+    D = diag(1/√S_ii) and unscales the solution (x = D·z). AL-decorated
+    Quu mixes penalty rows ~μ (up to 1e8) with R_inf slack rows (1e-8);
+    the raw f32 elimination pivot-failed near κ ~ 1/ε_f32 and the
+    solver's ρ-retry loop re-swept the WHOLE kernel ~10× per iLQR
+    iteration — 65% of maze device time (profiled, benchmark/
+    maze_profile.py). On the scaled matrix pivots are O(1): only genuine
+    indefiniteness fails, and the retry loop fires only when ρ can
+    actually fix something. Matches ops.linalg.posdef_solve.
+
     CAUTION — failed lanes can be FULLY NaN: when a pivot is 0/non-finite,
     inf·0 in the masked rank-1 update yields NaN even in rows the mask
     excludes, contaminating the entire lane. Callers MUST gate the
@@ -101,6 +111,20 @@ def _posdef_solve_lanes(S, rhs):
     # array constants; Mosaic also rejects the mid-dim squeeze's shape
     # cast, so slices stay 3D throughout)
     rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1, 1), 0)
+
+    # D as (m,1,B) and (1,m,B) built from one-hot accumulation (no
+    # sublane concatenate — Mosaic rejects it in this kernel context)
+    tiny = jnp.asarray(1e-30 if dtype == jnp.float32 else 1e-300, dtype)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, m, 1), 1)
+    d_r = jnp.zeros((m, 1, B), dtype)
+    d_c = jnp.zeros((1, m, B), dtype)
+    for i in range(m):
+        di = jax.lax.rsqrt(jnp.maximum(S[i, i:i + 1], tiny))   # (1, B)
+        d_r = d_r + (rows == i).astype(dtype) * di[None]
+        d_c = d_c + (cols == i).astype(dtype) * di[None]
+    S = S * d_r * d_c
+    rhs = rhs * d_r
+
     for i in range(m):
         piv = S[i, i:i + 1]                                # (1, B)
         fail = fail | (piv <= 0.0) | ~jnp.isfinite(piv)
@@ -115,7 +139,7 @@ def _posdef_solve_lanes(S, rhs):
         onehot = (rows == i).astype(dtype)
         rhs = rhs - above * S[:, i:i + 1, :] * r_i
         rhs = rhs * (1.0 - onehot) + onehot * r_i
-    return rhs, fail
+    return rhs * d_r, fail
 
 
 # ----------------------------------------------------------------- kernel
