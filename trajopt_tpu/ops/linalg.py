@@ -28,20 +28,38 @@ def posdef_solve(S, rhs):
     κ ~ 1/ε_f32 — triggering ρ-retry re-sweeps that dominated maze device
     time (profiled; see ops/pallas_riccati._posdef_solve_lanes, whose
     failure semantics this matches). Scaled pivots are O(1); only genuine
-    indefiniteness fails.
+    indefiniteness fails. In f32, rounding-exhausted pivots in
+    (−NEG_TOL, FLOOR) are clamped to the floor instead of failing — the
+    same policy as the sqrt stage factorization (a perturbation only
+    where the f32 information is already gone).
     """
     m = S.shape[-1]
-    tiny = 1e-30 if S.dtype == jnp.float32 else 1e-300
+    f32 = S.dtype == jnp.float32
+    tiny = 1e-30 if f32 else 1e-300
     d = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S), tiny))
     S = S * d[:, None] * d[None, :]
     rhs = rhs * d[:, None]
     Aug = jnp.concatenate([S, rhs], axis=-1)          # (m, m+k)
     fail = jnp.asarray(False)
     rows = [Aug[i] for i in range(m)]
+    if f32:
+        from trajopt_tpu.ops.pallas_riccati import (
+            PIVOT_FLOOR_F32, PIVOT_NEG_TOL_F32,
+        )
+
+        neg_tol, floor = PIVOT_NEG_TOL_F32, PIVOT_FLOOR_F32
+    else:
+        neg_tol, floor = 0.0, 0.0
+    pivs = []
     # forward elimination
     for i in range(m):
         piv = rows[i][i]
-        fail = fail | (piv <= 0.0) | ~jnp.isfinite(piv)
+        if neg_tol > 0.0:
+            fail = fail | (piv < -neg_tol) | ~jnp.isfinite(piv)
+            piv = jnp.maximum(piv, floor)
+        else:
+            fail = fail | (piv <= 0.0) | ~jnp.isfinite(piv)
+        pivs.append(piv)
         inv = 1.0 / piv
         for j in range(i + 1, m):
             rows[j] = rows[j] - rows[j][i] * inv * rows[i]
@@ -50,7 +68,7 @@ def posdef_solve(S, rhs):
         r = rows[i]
         for j in range(i + 1, m):
             r = r - r[j] * rows[j]
-        rows[i] = r / rows[i][i]
+        rows[i] = r / pivs[i]
     X = jnp.stack([rows[i][m:] for i in range(m)])
     return X * d[:, None], fail
 

@@ -30,6 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 
+# Equilibrated-space pivot policy (f32): see _posdef_solve_lanes docstring.
+# Same constants as the sqrt stage factorization (solvers/ilqr.py).
+PIVOT_NEG_TOL_F32 = 1e-3
+PIVOT_FLOOR_F32 = 1e-7
+
 
 # ---------------------------------------------------- lane-batched helpers
 
@@ -98,6 +103,15 @@ def _posdef_solve_lanes(S, rhs):
     indefiniteness fails, and the retry loop fires only when ρ can
     actually fix something. Matches ops.linalg.posdef_solve.
 
+    Pivot policy in the scaled space (f32): a pivot below −PIVOT_NEG_TOL
+    is genuinely indefinite → fail/ρ-retry; pivots in (−tol, floor) are
+    rounding-exhausted (κ(Quu) ≳ 1/ε_f32 — the f32 information is gone)
+    and are CLAMPED to PIVOT_FLOOR instead of failing. Same policy as the
+    sqrt stage factorization (solvers/ilqr.py SQRT_PIVOT_*): before it,
+    rounding-level failures still triggered ~4 full re-sweeps per maze
+    iteration (ρ climbing from 1e-8 by ×1.6 can take ~7 masked retries),
+    ~60% of the remaining BP device time (benchmark/maze_profile.py).
+
     CAUTION — failed lanes can be FULLY NaN: when a pivot is 0/non-finite,
     inf·0 in the masked rank-1 update yields NaN even in rows the mask
     excludes, contaminating the entire lane. Callers MUST gate the
@@ -125,16 +139,26 @@ def _posdef_solve_lanes(S, rhs):
     S = S * d_r * d_c
     rhs = rhs * d_r
 
+    if dtype == jnp.float32:
+        neg_tol, floor = PIVOT_NEG_TOL_F32, PIVOT_FLOOR_F32
+    else:
+        neg_tol, floor = 0.0, 0.0
+    pivs = []
     for i in range(m):
         piv = S[i, i:i + 1]                                # (1, B)
-        fail = fail | (piv <= 0.0) | ~jnp.isfinite(piv)
+        if neg_tol > 0.0:
+            fail = fail | (piv < -neg_tol) | ~jnp.isfinite(piv)
+            piv = jnp.maximum(piv, floor)
+        else:
+            fail = fail | (piv <= 0.0) | ~jnp.isfinite(piv)
+        pivs.append(piv)
         inv = 1.0 / piv
         below = (rows > i).astype(dtype)
         f = S[:, i:i + 1, :] * inv * below                 # (m, 1, B)
         S = S - f * S[i][None, :, :]
         rhs = rhs - f * rhs[i][None, :, :]
     for i in range(m - 1, -1, -1):
-        r_i = (rhs[i] / S[i, i:i + 1])[None, :, :]         # (1, k, B)
+        r_i = (rhs[i] / pivs[i])[None, :, :]               # (1, k, B)
         above = (rows < i).astype(dtype)
         onehot = (rows == i).astype(dtype)
         rhs = rhs - above * S[:, i:i + 1, :] * r_i

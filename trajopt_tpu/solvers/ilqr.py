@@ -1007,6 +1007,20 @@ def _make_fused_al_dispatches(model, opts: iLQROptions, meta: ALFusedMeta):
 
             K0, d0, v1, v2, fail0 = sweep(rhob)
 
+            # Scale-aware retry (batched-path divergence from the
+            # reference's blind ×1.6 escalation, documented): with AL
+            # penalties μ ~ 1e8 the f32-assembled Quu is indefinite by
+            # O(μ·ε) rounding noise, and geometric escalation from
+            # bp_reg_min needs ~10 full kernel re-sweeps — measured as
+            # 60%+ of maze device time with EVERY lane failing
+            # (benchmark/maze_profile.py; ρ only stabilized at 1e1-1e3).
+            # A failing lane jumps straight to the rounding-noise scale
+            # ε-rel·(max μ + 1); escalation continues geometrically from
+            # there. ρ only enters the regularized gain solve of lanes
+            # that FAILED, so healthy lanes are untouched.
+            scale = 1e-5 * (jnp.max(
+                mub.reshape(mub.shape[0], -1), axis=1) + 1.0)
+
             def cond(st):
                 *_, fail, _r, _dr, att = st
                 return jnp.any(fail) & (att < opts.bp_max_attempts)
@@ -1014,7 +1028,7 @@ def _make_fused_al_dispatches(model, opts: iLQROptions, meta: ALFusedMeta):
             def body(st):
                 K, d, v1, v2, fail, rho_c, drho_c, att = st
                 rho_i, drho_i = reg_increase(rho_c, drho_c, opts)
-                rho_c = jnp.where(fail, rho_i, rho_c)
+                rho_c = jnp.where(fail, jnp.maximum(rho_i, scale), rho_c)
                 drho_c = jnp.where(fail, drho_i, drho_c)
                 K, d, v1, v2, fail = sweep(rho_c)
                 return (K, d, v1, v2, fail, rho_c, drho_c, att + 1)
