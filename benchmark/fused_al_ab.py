@@ -95,8 +95,12 @@ def main():
     ap.add_argument("--mode", default="pool", choices=["pool", "vmap"])
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--lanes", type=int, default=128)
+    ap.add_argument("--fused-only", action="store_true")
     args = ap.parse_args()
     if args.mode == "pool":
+        if args.fused_only:
+            run_pool(args.batch, args.lanes, fused=True, tag="fused-AL   ")
+            return
         r0 = run_pool(args.batch, args.lanes, fused=False, tag="phase-split")
         r1 = run_pool(args.batch, args.lanes, fused=True, tag="fused-AL   ")
     else:

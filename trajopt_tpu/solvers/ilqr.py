@@ -1015,9 +1015,13 @@ def _make_fused_al_dispatches(model, opts: iLQROptions, meta: ALFusedMeta):
             # 60%+ of maze device time with EVERY lane failing
             # (benchmark/maze_profile.py; ρ only stabilized at 1e1-1e3).
             # A failing lane jumps straight to the rounding-noise scale
-            # ε-rel·(max μ + 1); escalation continues geometrically from
-            # there. ρ only enters the regularized gain solve of lanes
-            # that FAILED, so healthy lanes are untouched.
+            # 1e-5·(max μ + 1) — the factor that measured best END-TO-END
+            # on the maze pool (1e-5/3e-5/1e-4 → 312/292/323 solves/s at
+            # conv .9995/.9990/.9976 — larger factors cut retries further
+            # but cost rounds+conv via over-regularization); escalation
+            # continues geometrically from there. ρ only enters the
+            # regularized gain solve of lanes that FAILED, so healthy
+            # lanes are untouched.
             scale = 1e-5 * (jnp.max(
                 mub.reshape(mub.shape[0], -1), axis=1) + 1.0)
 
