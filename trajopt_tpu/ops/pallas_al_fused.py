@@ -409,13 +409,25 @@ def _fused_al_backward_impl(model_fns, canon, X, U, lam, mu, dt, obj, rho,
     return K, d, dV[:, 0], dV[:, 1], fail
 
 
+def _auto_chunk(Bz):
+    """Largest 128-multiple chunk ≤ 512 dividing the batch: one pallas_call
+    with grid = chunk/128 pipelines tiles and amortizes per-call overhead —
+    measured 27.2 / 15.1 / 8.0 ms per 128 lanes at grid 1/2/4 on maze
+    shapes (benchmark/fused_al_chunks.py; the fused tiles are small enough
+    that Mosaic's grid>2 input double-buffering fits VMEM, unlike the
+    phase-split kernels that forced ≤2-tile lax.map chunking)."""
+    for c in (512, 384, 256, 128):
+        if Bz % c == 0:
+            return c
+    return LANES
+
+
 def fused_al_backward_pallas(model_fns, canon, X, U, lam, mu, dt, obj, rho,
                              atol=0.0, reg_state=False, interpret=False,
                              chunk=None):
-    """Chunked front-end (≤``chunk`` problems per pallas_call; default 128
-    — the λ/μ stacks make AL tiles heavier than the plain fused kernels)."""
+    """Chunked front-end (≤``chunk`` problems per pallas_call)."""
     Bz = X.shape[0]
-    chunk = LANES if chunk is None else chunk
+    chunk = _auto_chunk(Bz) if chunk is None else chunk
     if Bz <= chunk:
         return _fused_al_backward_impl(model_fns, canon, X, U, lam, mu, dt,
                                        obj, rho, atol, reg_state, interpret)
@@ -659,7 +671,7 @@ def fused_al_forward_pallas(step_lanes, canon, x0, X, U, K, d, dV1, dV2,
                             opts_t, atol=0.0, interpret=False, chunk=None):
     """Chunked front-end (see fused_al_backward_pallas)."""
     Bz = X.shape[0]
-    chunk = LANES if chunk is None else chunk
+    chunk = _auto_chunk(Bz) if chunk is None else chunk
     if Bz <= chunk:
         return _fused_al_forward_impl(step_lanes, canon, x0, X, U, K, d,
                                       dV1, dV2, J_prev, rho, drho, alpha0,

@@ -991,8 +991,10 @@ def _make_fused_al_dispatches(model, opts: iLQROptions, meta: ALFusedMeta):
             and not in_batched[2]          # shared dt trajectory
             and not obj_batched            # shared objective
             and not cs_batched             # shared constraint stack
-            and _fused_al_bp_tile_bytes(Xb.shape[1], Xb.shape[-1],
-                                        Ub.shape[-1], lamb.shape[-1])
+            # ×2: the auto-chunk front-end runs grids > 2, where Mosaic
+            # double-buffers input tiles (ops/pallas_al_fused._auto_chunk)
+            and 2 * _fused_al_bp_tile_bytes(Xb.shape[1], Xb.shape[-1],
+                                            Ub.shape[-1], lamb.shape[-1])
                 < _PALLAS_VMEM_BUDGET
         )
         if use_pallas:
@@ -1084,8 +1086,8 @@ def _make_fused_al_dispatches(model, opts: iLQROptions, meta: ALFusedMeta):
             and not in_batched[13]
             and not obj_batched
             and not cs_batched
-            and _fused_al_fp_tile_bytes(Xb.shape[1], Xb.shape[-1],
-                                        Ub.shape[-1], lamb.shape[-1])
+            and 2 * _fused_al_fp_tile_bytes(Xb.shape[1], Xb.shape[-1],
+                                            Ub.shape[-1], lamb.shape[-1])
                 < _PALLAS_VMEM_BUDGET
         )
         if use_pallas:
