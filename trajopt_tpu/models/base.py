@@ -147,6 +147,17 @@ def discretize(model: Model, integrator: str = "rk3") -> DiscreteModel:
         )
 
         dmodel.step_lanes = double_integrator_step_lanes
+    elif getattr(model, "chain", None) is not None and name == "rk3":
+        # rigid-body chains (kuka, acrobot, doublependulum, cartpole-URDF):
+        # lane-batched Featherstone CRBA/RNEA step
+        # (models/rigidbody_lanes.py; exact vs chain.dynamics)
+        from trajopt_tpu.models.rigidbody_lanes import make_chain_step_lanes
+
+        meta = getattr(model, "chain_meta", {})
+        dmodel.step_lanes = make_chain_step_lanes(
+            model.chain, B=meta.get("B"),
+            gravity=meta.get("gravity", 9.81),
+            use_damping=meta.get("use_damping", True))
     return dmodel
 
 

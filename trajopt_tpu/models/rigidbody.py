@@ -523,4 +523,5 @@ def model_from_urdf(urdf_path: str, actuated=None, name: Optional[str] = None,
 
     model = Model(f, 2 * nd, m, name=name or f"urdf({urdf_path})")
     model.chain = chain
+    model.chain_meta = dict(B=B, gravity=gravity, use_damping=True)
     return model

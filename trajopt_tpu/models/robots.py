@@ -126,6 +126,10 @@ def _model_from_chain(chain: RigidBodyChain, actuated=None, name="robot",
 
     model = Model(f, 2 * nd, m, name=name)
     model.chain = chain
+    # dynamics metadata for the lane-batched Featherstone step factory
+    # (models/rigidbody_lanes.py) — discretize() uses it to attach a
+    # step_lanes so the Pallas rollout/forward kernels engage
+    model.chain_meta = dict(B=B, gravity=gravity, use_damping=False)
     return model
 
 

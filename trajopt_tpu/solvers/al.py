@@ -225,9 +225,12 @@ def al_lane_stepper(prob: Problem, opts: ALOptions, constraint_tolerance=None,
         meta = None if canon is None else ALFusedMeta(
             objective=prob.obj, cs=cs, canon=canon, lam=st.lam, mu=st.mu,
             atol=atol)
+        from trajopt_tpu.solvers.ilqr import reg_noise_scale
+
         res = ilqr_solve(prob.model, cost_fn, expansion_fn, st.x0, st.X,
                          st.U, dt_traj, opts.opts_uncon,
-                         cost_tol=cost_tol, grad_tol=grad_tol, al_meta=meta)
+                         cost_tol=cost_tol, grad_tol=grad_tol, al_meta=meta,
+                         reg_scale=reg_noise_scale(st.mu, dtype))
         C = cs.evaluate(res.X, res.U)
         c_max_new = cs.max_violation(C)
         if opts.outer_loop_update_type == "feedback":
@@ -320,9 +323,12 @@ def al_solve(
         meta = None if canon is None else ALFusedMeta(
             objective=prob.obj, cs=cs, canon=canon, lam=lam, mu=mu,
             atol=atol)
+        from trajopt_tpu.solvers.ilqr import reg_noise_scale
+
         return ilqr_solve(prob.model, cost_fn, expansion_fn, prob.x0, X, U,
                           dt_traj, opts.opts_uncon,
-                          cost_tol=cost_tol, grad_tol=grad_tol, al_meta=meta)
+                          cost_tol=cost_tol, grad_tol=grad_tol, al_meta=meta,
+                          reg_scale=reg_noise_scale(mu, dtype))
 
     def cond_fn(st):
         X, U, lam, mu, c_max, J, it, it_total, grad, converged, hist = st

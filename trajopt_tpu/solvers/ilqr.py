@@ -349,25 +349,44 @@ def sqrt_sweep(A, B, exp: Expansion, rho_val):
     return K, d, dV1, dV2, fail
 
 
+def reg_noise_scale(mu, dtype):
+    """ρ jump target for the scale-aware retry: ~100·ε·(max μ + 1), the
+    f32 rounding-noise floor of an AL-decorated Quu (measured 1e-5·μ on
+    the maze pool — see the fused-AL dispatch notes). Returns a traced
+    scalar; 0.0 disables the jump (exact reference escalation)."""
+    eps = float(jnp.finfo(dtype).eps)
+    if mu.size == 0:
+        return jnp.zeros((), dtype)
+    return (100.0 * eps) * (jnp.max(mu) + 1.0)
+
+
 def backward_pass(A, B, exp: Expansion, rho, drho, opts: iLQROptions,
-                  U=None):
+                  U=None, reg_scale=None):
     """Riccati/DDP sweep — dispatches through a ``custom_vmap`` wrapper so
     that BATCHED solves (vmap over problems) use the fused Pallas lane-batch
     kernel on TPU while the single-problem path keeps the scan semantics.
     See :func:`_backward_pass_impl` for the algorithm.
 
     ``U`` (current controls) is only consumed by the proximal step-limit
-    policy (``opts.bp_step_limit``) and may be omitted otherwise."""
+    policy (``opts.bp_step_limit``) and may be omitted otherwise.
+    ``reg_scale`` (traced scalar, default 0 = exact reference semantics):
+    on a failed sweep ρ jumps to at least this value — the AL solver
+    passes the rounding-noise scale of its penalty terms so retries don't
+    crawl up from bp_reg_min by ×1.6 (see :func:`reg_noise_scale`)."""
+    if reg_scale is None:
+        reg_scale = jnp.zeros((), A.dtype)
     if opts.bp_step_limit > 0.0 and U is not None:
-        return _bp_dispatch_limited(opts)(A, B, exp, rho, drho, U)
-    return _bp_dispatch(opts)(A, B, exp, rho, drho)
+        return _bp_dispatch_limited(opts)(A, B, exp, rho, drho, reg_scale, U)
+    return _bp_dispatch(opts)(A, B, exp, rho, drho, reg_scale)
 
 
 def _bp_batched_pallas(A, B, exp: Expansion, rho, drho, opts: iLQROptions,
-                       U=None):
+                       U=None, reg_scale=None):
     """Batched backward pass on a fused Pallas Riccati kernel (standard
     scan semantics or the QR square-root sweep, by bp_type) with the
-    reference's per-problem ρ-retry semantics (masked re-sweeps)."""
+    reference's per-problem ρ-retry semantics (masked re-sweeps).
+    ``reg_scale`` (per-problem (B,) or None): scale-aware jump floor for
+    failing lanes (see :func:`backward_pass`)."""
     if opts.square_root or opts.bp_type == "sqrt":
         from trajopt_tpu.ops.pallas_sqrt import sqrt_sweep_pallas
 
@@ -393,6 +412,7 @@ def _bp_batched_pallas(A, B, exp: Expansion, rho, drho, opts: iLQROptions,
             return K, d, v1, v2, fail | hot
 
     K0, d0, v1, v2, fail0 = sweep(rho)
+    jump = jnp.zeros_like(rho) if reg_scale is None else reg_scale
 
     def cond(st):
         K, d, v1, v2, fail, rho_c, drho_c, att = st
@@ -401,7 +421,7 @@ def _bp_batched_pallas(A, B, exp: Expansion, rho, drho, opts: iLQROptions,
     def body(st):
         K, d, v1, v2, fail, rho_c, drho_c, att = st
         rho_i, drho_i = reg_increase(rho_c, drho_c, opts)
-        rho_c = jnp.where(fail, rho_i, rho_c)
+        rho_c = jnp.where(fail, jnp.maximum(rho_i, jump), rho_c)
         drho_c = jnp.where(fail, drho_i, drho_c)
         K, d, v1, v2, fail = sweep(rho_c)
         return (K, d, v1, v2, fail, rho_c, drho_c, att + 1)
@@ -433,18 +453,18 @@ def _make_bp_dispatch(opts: iLQROptions, with_U: bool):
     """One builder for both BP dispatches: ``with_U`` threads the current
     controls through for the proximal step-limit policy (bp_step_limit);
     the dispatch condition and broadcast logic are shared so the two
-    variants cannot drift (ADVICE r3)."""
+    variants cannot drift (ADVICE r3). ``reg_scale`` (traced, 0 = off)
+    rides along for the scale-aware retry jump."""
     from jax.custom_batching import custom_vmap
-
-    nargs = 6 if with_U else 5
 
     @custom_vmap
     def bp(*args):
         if with_U:
-            A, B, exp, rho, drho, U = args
-            return _backward_pass_impl(A, B, exp, rho, drho, opts, U=U)
-        A, B, exp, rho, drho = args
-        return _backward_pass_impl(A, B, exp, rho, drho, opts)
+            A, B, exp, rho, drho, rs, U = args
+            return _backward_pass_impl(A, B, exp, rho, drho, opts, U=U,
+                                       reg_scale=rs)
+        A, B, exp, rho, drho, rs = args
+        return _backward_pass_impl(A, B, exp, rho, drho, opts, reg_scale=rs)
 
     @bp.def_vmap
     def _rule(axis_size, in_batched, *args):
@@ -453,18 +473,21 @@ def _make_bp_dispatch(opts: iLQROptions, with_U: bool):
                 lambda x, bb: x if bb else jnp.broadcast_to(
                     x, (axis_size,) + jnp.shape(x)), v, b)
 
-        bA, bB, bexp, brho, bdrho, *rest = (
+        bA, bB, bexp, brho, bdrho, brs, *rest = (
             bc(v, b) for v, b in zip(args, in_batched))
         bU = rest[0] if with_U else None
 
         if _bp_use_pallas(opts, axis_size, bA, bB):
-            out = _bp_batched_pallas(bA, bB, bexp, brho, bdrho, opts, U=bU)
+            out = _bp_batched_pallas(bA, bB, bexp, brho, bdrho, opts, U=bU,
+                                     reg_scale=brs)
         elif with_U:
-            out = jax.vmap(lambda a, b, e, r, dr, u: _backward_pass_impl(
-                a, b, e, r, dr, opts, U=u))(bA, bB, bexp, brho, bdrho, bU)
+            out = jax.vmap(lambda a, b, e, r, dr, rs, u: _backward_pass_impl(
+                a, b, e, r, dr, opts, U=u, reg_scale=rs))(
+                bA, bB, bexp, brho, bdrho, brs, bU)
         else:
-            out = jax.vmap(lambda a, b, e, r, dr: _backward_pass_impl(
-                a, b, e, r, dr, opts))(bA, bB, bexp, brho, bdrho)
+            out = jax.vmap(lambda a, b, e, r, dr, rs: _backward_pass_impl(
+                a, b, e, r, dr, opts, reg_scale=rs))(
+                bA, bB, bexp, brho, bdrho, brs)
         return out, tuple(True for _ in range(6))
 
     return bp
@@ -481,7 +504,7 @@ def _bp_dispatch_limited(opts: iLQROptions):
 
 
 def _backward_pass_impl(A, B, exp: Expansion, rho, drho, opts: iLQROptions,
-                        U=None):
+                        U=None, reg_scale=None):
     """Riccati/DDP sweep (reference _backwardpass!, backward_pass.jl:9-85).
 
     A: (N-1, n, n), B: (N-1, n, m), exp: stacked expansion.
@@ -589,6 +612,7 @@ def _backward_pass_impl(A, B, exp: Expansion, rho, drho, opts: iLQROptions,
             return K, d, dV1, dV2, fail | hot
 
     K0, d0, dV1_0, dV2_0, fail0 = sweep(rho)
+    jump = jnp.zeros((), A.dtype) if reg_scale is None else reg_scale
 
     def retry_cond(st):
         _, _, _, _, fail, rho_c, _, attempts = st
@@ -597,6 +621,7 @@ def _backward_pass_impl(A, B, exp: Expansion, rho, drho, opts: iLQROptions,
     def retry_body(st):
         _, _, _, _, _, rho_c, drho_c, attempts = st
         rho_c, drho_c = reg_increase(rho_c, drho_c, opts)
+        rho_c = jnp.maximum(rho_c, jump)
         K, d, dV1, dV2, fail = sweep(rho_c)
         return (K, d, dV1, dV2, fail, rho_c, drho_c, attempts + 1)
 
@@ -958,7 +983,10 @@ def _make_fused_al_dispatches(model, opts: iLQROptions, meta: ALFusedMeta):
         _, expansion_fn = _cost_fns(obj, cs, dt_traj, lam, mu)
         A, B = model.jacobian_traj(X[:-1], U, dt_traj)
         exp = expansion_fn(X, U)
-        return _backward_pass_impl(A, B, exp, rho, drho, opts)
+        # same scale-aware retry jump as the kernel path (and as the
+        # closure path in ilqr_solve, which gets reg_scale from al.py)
+        return _backward_pass_impl(A, B, exp, rho, drho, opts,
+                                   reg_scale=reg_noise_scale(mu, X.dtype))
 
     def _bc_tree(t, in_b, axis_size):
         return jax.tree_util.tree_map(
@@ -1017,15 +1045,14 @@ def _make_fused_al_dispatches(model, opts: iLQROptions, meta: ALFusedMeta):
             # 60%+ of maze device time with EVERY lane failing
             # (benchmark/maze_profile.py; ρ only stabilized at 1e1-1e3).
             # A failing lane jumps straight to the rounding-noise scale
-            # 1e-5·(max μ + 1) — the factor that measured best END-TO-END
-            # on the maze pool (1e-5/3e-5/1e-4 → 312/292/323 solves/s at
-            # conv .9995/.9990/.9976 — larger factors cut retries further
-            # but cost rounds+conv via over-regularization); escalation
-            # continues geometrically from there. ρ only enters the
-            # regularized gain solve of lanes that FAILED, so healthy
-            # lanes are untouched.
-            scale = 1e-5 * (jnp.max(
-                mub.reshape(mub.shape[0], -1), axis=1) + 1.0)
+            # ~1e-5·(max μ + 1) (reg_noise_scale; the ×1e-5 region
+            # measured best END-TO-END on the maze pool — 1e-5/3e-5/1e-4
+            # → 312/292/323 solves/s at conv .9995/.9990/.9976, larger
+            # factors cut retries further but cost rounds+conv via
+            # over-regularization); escalation continues geometrically
+            # from there. ρ only enters the regularized gain solve of
+            # lanes that FAILED, so healthy lanes are untouched.
+            scale = jax.vmap(lambda m: reg_noise_scale(m, Xb.dtype))(mub)
 
             def cond(st):
                 *_, fail, _r, _dr, att = st
@@ -1188,6 +1215,7 @@ def ilqr_solve(
     do_rollout: bool = True,
     objective=None,
     al_meta: Optional[ALFusedMeta] = None,
+    reg_scale=None,
 ) -> ILQRResult:
     """Solve an unconstrained (or AL-wrapped) problem with iLQR
     (reference solve!, ilqr_methods.jl:3-45).
@@ -1277,7 +1305,7 @@ def ilqr_solve(
             if qs is not None:
                 A, B, exp = project_err(X, A, B, exp)
             K, d, dV1, dV2, rho_c, drho_c = backward_pass(
-                A, B, exp, rho_c, drho_c, opts, U=U)
+                A, B, exp, rho_c, drho_c, opts, U=U, reg_scale=reg_scale)
         if opts.line_search_warm_start:
             # grow from the last accepted step; reset to 1 after exhaustion
             alpha0 = jnp.where(a_prev > 0.0,
