@@ -25,10 +25,11 @@ from trajopt_tpu.utils.tree import precise, static_dataclass
 
 def _al_fused_canon(prob: Problem, opts: ALOptions):
     """Canonical constraint stack for the AL-aware fused kernels — built
-    once per trace when the inner solver opts into ``fused`` and every
-    constraint is data-representable (ops/canonical.py); None otherwise
-    (the solver keeps the closure-based phases)."""
-    if not opts.opts_uncon.fused:
+    once per trace when the inner solver has ``fused``/``fused_al`` on
+    (``fused_al`` defaults True) and every constraint is
+    data-representable (ops/canonical.py); None otherwise (the solver
+    keeps the closure-based phases)."""
+    if not (opts.opts_uncon.fused or opts.opts_uncon.fused_al):
         return None
     from trajopt_tpu.ops.canonical import canonical_stack
 

@@ -68,8 +68,20 @@ class iLQROptions:
     # phase-split path on the quadrotor A/B (benchmark/fused_ab.py, TPU
     # v5e, B=128 — XLA already overlaps the phases well and the mega-
     # kernels lose occupancy to VMEM pressure). Kept as an option for
-    # shapes where dispatch overhead dominates.
+    # shapes where dispatch overhead dominates. Also force-enables the
+    # AL-fused kernels (below).
     fused: bool = False
+    # AL-aware fused iteration kernels (ops/pallas_al_fused.py): for
+    # CONSTRAINED batched TPU solves whose constraint stack is canonical
+    # (ops/canonical.py — circle/sphere fields, bounds, goal, infeasible
+    # slack; every zoo problem except kuka), the whole AL-iLQR iteration
+    # runs as two Pallas programs with the constraint stack evaluated
+    # in-VMEM. ON by default: measured 1.9–2.9× across the constrained
+    # zoo at equal-or-better convergence (maze 161→312, car_escape
+    # 1236→2855, quad_obs 771→2212 solves/s — BENCH_LOCAL.md round 4);
+    # ineligible solves (non-canonical stacks, CPU, odd batches) fall
+    # back to the phase-split path unchanged.
+    fused_al: bool = True
     # Proximal step-limit policy (new; no reference counterpart): when > 0,
     # a backward sweep whose relative feedforward step
     # mean_k max_j |d_kj|/(|u_kj|+1) exceeds this bound is ρ-escalated and
@@ -930,7 +942,7 @@ class ALFusedMeta(NamedTuple):
 def _fused_al_eligible(model, opts: iLQROptions, meta):
     from trajopt_tpu.ops.cost import Objective
 
-    return (opts.fused
+    return ((opts.fused or opts.fused_al)
             and meta is not None
             and meta.canon is not None
             and isinstance(meta.objective, Objective)
