@@ -115,10 +115,15 @@ def bench_maze():
         np.tile(np.asarray(prob.x0)[None], (B, 1))
         + np.concatenate([rng.normal(size=(B, 3)) * 0.05,
                           np.zeros((B, 10))], axis=1), dtype)
-    # fused=True: the AL-aware fused iteration kernels (ops/pallas_al_fused)
-    # evaluate the canonical maze constraint stack in-kernel — measured
-    # 207.7 vs 161.0 solves/s phase-split at equal conv 0.9995 after the
-    # round-4 equilibrated PD solves (benchmark/fused_al_ab.py).
+    # The AL-aware fused iteration kernels (ops/pallas_al_fused,
+    # fused_al default-on) evaluate the canonical maze constraint stack
+    # in-kernel: 312.4 vs 161.0 solves/s phase-split at conv 0.9995 after
+    # the round-4 equilibrated PD solves + scale-aware rho retry
+    # (benchmark/fused_al_ab.py, BENCH_LOCAL.md round 4). fused=True is
+    # semantically redundant with the fused_al default but pins the
+    # options hash of the 312.4/0.9995 measured compile — a fresh XLA
+    # compile of the same program measured 285.8/0.9971 (fusion-level f32
+    # rounding shifts the chaotic iterate paths run to run).
     al_sched = tt.ALOptions(
         iterations=40, opts_uncon=iLQROptions(iterations=10, fused=True),
         cost_tolerance=1e-5, cost_tolerance_intermediate=1e-3,
