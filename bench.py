@@ -117,13 +117,12 @@ def bench_maze():
                           np.zeros((B, 10))], axis=1), dtype)
     # The AL-aware fused iteration kernels (ops/pallas_al_fused,
     # fused_al default-on) evaluate the canonical maze constraint stack
-    # in-kernel: 312.4 vs 161.0 solves/s phase-split at conv 0.9995 after
-    # the round-4 equilibrated PD solves + scale-aware rho retry
-    # (benchmark/fused_al_ab.py, BENCH_LOCAL.md round 4). fused=True is
-    # semantically redundant with the fused_al default but pins the
-    # options hash of the 312.4/0.9995 measured compile — a fresh XLA
-    # compile of the same program measured 285.8/0.9971 (fusion-level f32
-    # rounding shifts the chaotic iterate paths run to run).
+    # in-kernel: 285.8-312.4 solves/s at conv 0.997-0.9995 across XLA
+    # compile variants of the same program (fusion-level f32 rounding
+    # shifts the chaotic iterate paths; each compiled artifact is
+    # deterministic) vs 161.0 phase-split — after the round-4
+    # equilibrated PD solves + scale-aware rho retry
+    # (benchmark/fused_al_ab.py, BENCH_LOCAL.md round 4).
     al_sched = tt.ALOptions(
         iterations=40, opts_uncon=iLQROptions(iterations=10, fused=True),
         cost_tolerance=1e-5, cost_tolerance_intermediate=1e-3,
