@@ -64,6 +64,10 @@ def bench_ilqr():
     pos_err = jnp.linalg.norm(
         res.X[:B, -1, :3] - jnp.asarray([0.0, 60.0, 10.0], dtype), axis=-1)
     converged = float(jnp.mean((pos_err < 0.5).astype(jnp.float32)))
+    # reference-bar accounting (VERDICT r4 missing #3): the reference test
+    # suite accepts the quadrotor goal at 5e-3 m
+    # (reference test/quadrotor_tests.jl:42-84 norm bars 1e-3–5e-3)
+    converged_ref = float(jnp.mean((pos_err < 5e-3).astype(jnp.float32)))
 
     # median of 3 timed reps: tunnel-attached TPU timings swing ±40% run to
     # run (BENCH_LOCAL.md); the median is the driver-reproducible figure
@@ -84,7 +88,8 @@ def bench_ilqr():
     flops = iters_total * ilqr_iteration_flops(N=101, n=13, m=4)
     tflops_s = flops / dt / 1e12
     mfu = flops / dt / peak_flops_for(jax.devices()[0])
-    return B / dt, converged, float(jnp.median(pos_err)), tflops_s, mfu
+    return (B / dt, converged, converged_ref, float(jnp.median(pos_err)),
+            tflops_s, mfu)
 
 
 def bench_maze():
@@ -147,7 +152,10 @@ def bench_maze():
     # c_max is already scored on the ORIGINAL constraints (slacks stripped)
     cmax = r.c_max
     converged = float(jnp.mean((cmax < 1e-2).astype(jnp.float32)))
-    return B / dt, converged, float(jnp.median(cmax))
+    # reference bar: c_max < 1e-3 (reference
+    # augmented_lagrangian_solver.jl:28 constraint_tolerance default)
+    converged_ref = float(jnp.mean((cmax < 1e-3).astype(jnp.float32)))
+    return B / dt, converged, converged_ref, float(jnp.median(cmax))
 
 
 def _watchdog(seconds=1200):
@@ -171,7 +179,8 @@ def _watchdog(seconds=1200):
 def main():
     _watchdog()
     try:
-        ilqr_rate, ilqr_conv, ilqr_err, tflops_s, mfu = bench_ilqr()
+        (ilqr_rate, ilqr_conv, ilqr_conv_ref, ilqr_err, tflops_s,
+         mfu) = bench_ilqr()
     except Exception as e:
         # TPU/compile-service hiccup: still emit a valid line
         print(json.dumps({
@@ -181,9 +190,10 @@ def main():
         }))
         return
     try:
-        maze_rate, maze_conv, maze_cmax = bench_maze()
+        maze_rate, maze_conv, maze_conv_ref, maze_cmax = bench_maze()
     except Exception as e:  # keep the headline robust to env hiccups
-        maze_rate, maze_conv, maze_cmax = -1.0, 0.0, float("nan")
+        maze_rate, maze_conv, maze_conv_ref, maze_cmax = (
+            -1.0, 0.0, 0.0, float("nan"))
 
     out = {
         "metric": "quadrotor_ilqr_solves_per_s",
@@ -191,6 +201,9 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(ilqr_rate / BASELINE_ILQR, 2),
         "converged_frac": round(ilqr_conv, 4),
+        # fraction at the reference test suite's own goal-error bar (5e-3 m,
+        # reference test/quadrotor_tests.jl:42-84)
+        "converged_frac_ref_tol": round(ilqr_conv_ref, 4),
         "median_final_pos_err_m": round(ilqr_err, 5),
         # analytic model-flops rate vs chip bf16 peak (solver matmuls run
         # f32-as-3-pass-bf16, so the realistic ceiling is ~1/6 of peak; see
@@ -201,6 +214,9 @@ def main():
         "maze_al_solves_per_s": round(maze_rate, 3),
         "maze_vs_baseline": round(maze_rate / BASELINE_MAZE, 2),
         "maze_converged_frac": round(maze_conv, 4),
+        # fraction at the reference's own constraint tolerance (1e-3,
+        # reference augmented_lagrangian_solver.jl:28)
+        "maze_converged_frac_ref_tol": round(maze_conv_ref, 4),
         "maze_median_c_max": maze_cmax,
         "device": str(jax.devices()[0]),
     }

@@ -50,7 +50,7 @@ def main():
                         opts_uncon=tt.iLQROptions(iterations=25))
     rows = scaling_sweep(prob, opts,
                          per_device_batch=args.per_device_batch,
-                         x0_sigma=0.02)
+                         x0_sigma=0.02, measure_collectives=True)
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(
         timespec="seconds")
     with open(args.out, "a") as f:

@@ -365,3 +365,109 @@ def time_sharded_backward_pass(A, B, exp: Expansion, rho, mesh, axis="tp"):
     S = jnp.concatenate([S_head, exp.xx[-1][None]], axis=0)
     s = jnp.concatenate([s_head, exp.x[-1][None]], axis=0)
     return K, d, dV1, dV2, S, s
+
+
+@precise
+def batch_time_sharded_backward_pass(A, B, exp: Expansion, rho, mesh,
+                                     dp_axis="dp", tp_axis="tp"):
+    """Combined data- x sequence-parallel Riccati sweep over a 2D mesh:
+    the PROBLEM batch shards over ``dp_axis`` and the TIME axis of every
+    problem shards over ``tp_axis`` — the layout the multi-host north star
+    needs (SURVEY.md §5.7/§5.8: dp pools of long-horizon problems where one
+    chip cannot hold a whole sweep).
+
+    Batched analog of :func:`time_sharded_backward_pass`: each (dp, tp)
+    shard runs local reverse associative scans over its (B/dp, (N-1)/tp)
+    block, the block composites are exchanged with one small ``all_gather``
+    over ``tp_axis`` only (dp shards never communicate — problems are
+    independent), and dV reduces with a psum over ``tp_axis``.
+
+    A: (Bz, N-1, n, n), B: (Bz, N-1, n, m), exp leaves batched likewise,
+    rho: scalar or (Bz,). Returns batched (K, d, dV1, dV2, S, s) equal to
+    ``vmap(parallel_backward_pass)`` up to f32 reordering (asserted by the
+    driver dryrun's dp x tp leg).
+    """
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    n = A.shape[-1]
+    Bz, Nm1 = A.shape[0], A.shape[1]
+    dtype = A.dtype
+    Dtp = mesh.shape[tp_axis]
+    Ddp = mesh.shape[dp_axis]
+    if Nm1 % Dtp != 0:
+        raise ValueError(f"N-1={Nm1} must divide over mesh axis {tp_axis}={Dtp}")
+    if Bz % Ddp != 0:
+        raise ValueError(f"batch={Bz} must divide over mesh axis {dp_axis}={Ddp}")
+    rho = jnp.broadcast_to(jnp.asarray(rho, dtype), (Bz,))
+
+    elems = jax.vmap(_stage_elements)(A, B, exp, rho)
+    term = jax.vmap(lambda e: _terminal_element(e, n, dtype))(exp)
+
+    sp2 = P(dp_axis, tp_axis)     # (batch, time, ...) leaves
+    sp1 = P(dp_axis)              # (batch, ...) leaves
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=((sp2, sp2, sp2), (sp1, sp1, sp1), sp1, sp2, sp2,
+                       sp2, sp2, sp2, sp2, sp2, sp1),
+             out_specs=(sp2, sp2, sp1, sp1, sp2, sp2),
+             check_vma=False)
+    def body(elems_l, term_l, lxN_l, A_l, B_l, lx_l, lu_l, luu_l, lux_l,
+             lxx_l, rho_l):
+        d_idx = jax.lax.axis_index(tp_axis)
+
+        def suffix_scan(combine, elems_b, term_b):
+            """Per-problem local reverse scan + halo fold over tp_axis.
+            elems_b leaves (B_loc, N_loc, ...); term_b leaves (B_loc, ...).
+            Returns (global suffix composites, exclusive later-block
+            suffix), both batched."""
+            local = jax.vmap(lambda el: jax.lax.associative_scan(
+                lambda later, earlier: jax.vmap(combine)(earlier, later),
+                el, reverse=True))(elems_b)
+            block = jax.tree_util.tree_map(lambda x: x[:, 0], local)
+            blocks = jax.lax.all_gather(block, tp_axis)   # (Dtp, B_loc, ...)
+            excl = term_b
+            for j in range(Dtp - 1, -1, -1):
+                bj = jax.tree_util.tree_map(lambda x: x[j], blocks)
+                cand = jax.vmap(combine)(bj, excl)
+                excl = jax.tree_util.tree_map(
+                    lambda c, e: jnp.where(j > d_idx, c, e), cand, excl)
+            gsuf = jax.vmap(lambda loc, ex: jax.vmap(
+                lambda e: combine(e, ex))(loc))(local, excl)
+            return gsuf, excl
+
+        gsuf, excl = suffix_scan(_combine, elems_l, term_l)
+        Z_loc = gsuf[2]                                  # (B_loc, N_loc, n, n)
+        S_loc = jnp.einsum("bkij,bklj->bkil", Z_loc, Z_loc)
+        Z1 = jnp.concatenate([Z_loc[:, 1:], excl[2][:, None]], axis=1)
+
+        K_l, Ruu = jax.vmap(lambda a, b, luu, lux, lxx, z1, r: jax.vmap(
+            lambda ak, bk, lu_k, lx_k, lxx_k, z1_k: _knot_gains_K(
+                ak, bk, lu_k, lx_k, lxx_k, z1_k, r, dtype))(
+            a, b, luu, lux, lxx, z1))(
+            A_l, B_l, luu_l, lux_l, lxx_l, Z1, rho_l)
+
+        Ac_T = jnp.swapaxes(
+            A_l + jnp.einsum("bkij,bkjl->bkil", B_l, K_l), -1, -2)
+        r = lx_l + jnp.einsum("bkji,bkj->bki", K_l, lu_l)
+        eye_b = jnp.broadcast_to(jnp.eye(n, dtype=dtype),
+                                 (A_l.shape[0], n, n))
+        gsuf_a, excl_a = suffix_scan(_affine_combine, (Ac_T, r),
+                                     (eye_b, lxN_l))
+        s_loc = gsuf_a[1]
+        s1 = jnp.concatenate([s_loc[:, 1:], excl_a[1][:, None]], axis=1)
+
+        d_l, dV1_l, dV2_l = jax.vmap(jax.vmap(_d_and_dV))(
+            lu_l, B_l, s1, Ruu)
+        dV1 = jax.lax.psum(jnp.sum(dV1_l, axis=1), tp_axis)
+        dV2 = jax.lax.psum(jnp.sum(dV2_l, axis=1), tp_axis)
+        return K_l, d_l, dV1, dV2, S_loc, s_loc
+
+    K, d, dV1, dV2, S_head, s_head = body(
+        elems, term, exp.x[:, -1], A, B, exp.x[:, :-1], exp.u, exp.uu,
+        exp.ux, exp.xx[:, :-1], rho)
+    S = jnp.concatenate([S_head, exp.xx[:, -1][:, None]], axis=1)
+    s = jnp.concatenate([s_head, exp.x[:, -1][:, None]], axis=1)
+    return K, d, dV1, dV2, S, s
