@@ -38,6 +38,8 @@ import jax.numpy as jnp
 LANES = 128
 INNER = 10
 OUTER = 40
+STEP_LIMIT = 0.0   # iLQROptions.bp_step_limit for the sqrt sweeps
+RHO_FLOOR = False  # floor rho at reg_noise_scale(mu) before each sweep
 
 
 def build_problem(seed_rank: int):
@@ -59,7 +61,8 @@ def build_problem(seed_rank: int):
 
     al_opts = tt.ALOptions(
         iterations=OUTER,
-        opts_uncon=iLQROptions(iterations=INNER, bp_type="sqrt"),
+        opts_uncon=iLQROptions(iterations=INNER, bp_type="sqrt",
+                               bp_step_limit=STEP_LIMIT),
         cost_tolerance=1e-5, cost_tolerance_intermediate=1e-3,
         constraint_tolerance=1e-3, penalty_initial=1.0, penalty_scaling=25.0)
     altro_opts = ALTROOptions(R_inf=1e-8, opts_al=al_opts)
@@ -107,14 +110,17 @@ def make_step_fn(prob_t, al_opts, path: str):
             cfn, _ = al_cost_fns(obj, cs, dt_traj, lam_, mu_, atol)
             return cfn(X_, U_)
 
+        if RHO_FLOOR:
+            rho = jnp.maximum(rho, reg_scale)
+        U_bp = U if opts.bp_step_limit > 0.0 else None
         if path == "kernel":
             K, d, dV1, dV2, rho_n, drho_n = _bp_batched_pallas(
-                A, B_, exp, rho, drho, opts, U=None, reg_scale=reg_scale)
+                A, B_, exp, rho, drho, opts, U=U_bp, reg_scale=reg_scale)
         else:
             K, d, dV1, dV2, rho_n, drho_n = jax.vmap(
-                lambda a, b, e, r, dr, rs: _backward_pass_impl(
-                    a, b, e, r, dr, opts, reg_scale=rs)
-            )(A, B_, exp, rho, drho, reg_scale)
+                lambda a, b, e, r, dr, rs, u: _backward_pass_impl(
+                    a, b, e, r, dr, opts, U=u, reg_scale=rs)
+            )(A, B_, exp, rho, drho, reg_scale, U)
 
         J_prev = jax.vmap(cost_one)(X, U, lam, mu)
         x0b = X[:, 0]

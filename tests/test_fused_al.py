@@ -106,11 +106,106 @@ def test_canonical_stack_matches_evaluate():
 
 
 def test_canonical_stack_rejects_non_canonical():
+    """A constraint without a canonical descriptor keeps the stack None."""
+    from trajopt_tpu.models import zoo as models
+    from trajopt_tpu.ops.constraints import Constraint, ConstraintSetBuilder
+
+    N, n, m = 11, 3, 2
+    cons = ConstraintSetBuilder(N)
+    cons.add(Constraint(lambda x, u: jnp.array([jnp.sin(x[0]) - 0.5]),
+                        1, "weird", equality=False, applies="stage"))
+    model_d = tt.discretize(models.car, "rk3")
+    obj = tt.LQRObjective(np.eye(n), np.eye(m), np.eye(n), np.zeros(n), N)
+    prob = tt.problem(model_d, obj, constraints=cons, x0=np.zeros(n),
+                      N=N, dt=0.1, U0=np.zeros((N - 1, m)))
+    st = canonical_stack(prob.constraints, n, m)
+    assert st is None
+
+
+def test_kuka_fk_canonical_stack_matches_evaluate():
+    """The fk_sphere rows (VERDICT r4 item 2) reproduce the kuka FK-bubble
+    constraint stack (reference problems/kuka_obstacles.jl:14-60) both on
+    the original and the slack-augmented problem."""
     from trajopt_tpu.problems import zoo as probs
 
     prob = probs.kuka_obstacles(dtype=jnp.float64)
-    st = canonical_stack(prob.constraints, prob.model.n, prob.model.m)
-    assert st is None
+    for p in (prob, infeasible_problem(prob, 1e-8)):
+        cs = p.constraints
+        n, m = p.model.n, p.model.m
+        st = canonical_stack(cs, n, m, dtype=jnp.float64)
+        assert st is not None and st.P == cs.P
+        rng = np.random.default_rng(0)
+        X = jnp.asarray(rng.uniform(-1.5, 1.5, size=(cs.N, n)))
+        U = jnp.asarray(rng.normal(size=(cs.N - 1, m)) * 2)
+        U_pad = jnp.concatenate([U, jnp.zeros_like(U[:1])], axis=0)
+        C_ref = cs.evaluate(X, U)
+        C_can = jnp.where(cs.mask, canon_evaluate(st, n, m, X, U_pad), 0.0)
+        assert float(jnp.max(jnp.abs(C_ref - C_can))) < 1e-10
+
+
+@pytest.mark.slow
+def test_kuka_fused_al_backward_matches_riccati_kernel():
+    """fk_sphere in-kernel FK + GN expansion (interpret mode) vs the
+    Riccati kernel fed the al_cost_fns-decorated expansion — the kuka
+    analog of test_fused_al_backward_matches_riccati_kernel."""
+    from trajopt_tpu.problems import zoo as probs
+
+    prob0 = probs.kuka_obstacles(dtype=DTYPE)
+    prob = infeasible_problem(prob0, 1e-8)
+    model = prob.model
+    cs = prob.constraints
+    n, m = model.n, model.m
+    N = cs.N
+    obj = jax.tree_util.tree_map(lambda a: jnp.asarray(a, DTYPE), prob.obj)
+    dt_traj = jnp.asarray(prob.dt_traj(), DTYPE)
+    B = 128
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(np.asarray(prob.x0)[None]
+                      + rng.normal(size=(B, n)) * 0.05, DTYPE)
+    # controls from the BASE problem's hold torques (prob.U's slack columns
+    # are seeded from the problem's state seed, which kuka_obstacles leaves
+    # unset) + small slack perturbations
+    U = jnp.asarray(np.concatenate([
+        np.tile(np.asarray(prob0.U)[None], (B, 1, 1))
+        + rng.normal(size=(B, N - 1, prob0.model.m)) * 0.05,
+        rng.normal(size=(B, N - 1, n)) * 0.02,
+    ], axis=-1), DTYPE)
+    # synthetic states around the hold pose (an open-loop rollout of the
+    # undamped arm with perturbed torques blows up — ilqr_solve docstring);
+    # the test only needs both paths to see IDENTICAL (X, U)
+    X = jnp.asarray(x0s[:, None, :]
+                    + rng.normal(size=(B, N, n)) * 0.1, DTYPE)
+    mask = np.asarray(jax.device_get(cs.mask), bool)
+    lam = jnp.asarray(rng.uniform(0.0, 0.5, size=(B, N, cs.P)) * mask, DTYPE)
+    mu = jnp.asarray(rng.uniform(0.5, 20.0, size=(B, N, cs.P)) * mask, DTYPE)
+    rho = jnp.ones((B,), DTYPE)
+    canon = canonical_stack(cs, n, m, dtype=DTYPE)
+    assert canon is not None
+
+    def exp_one(Xi, Ui, lam_i, mu_i):
+        _, expansion_fn = al_cost_fns(obj, cs, dt_traj, lam_i, mu_i, 0.0)
+        return expansion_fn(Xi, Ui)
+
+    A, Bm = jax.vmap(lambda Xi, Ui: model.jacobian_traj(
+        Xi[:-1], Ui, dt_traj))(X, U)
+    exp = jax.vmap(exp_one)(X, U, lam, mu)
+    Kr, dr, v1r, v2r, failr = riccati_sweep_pallas(
+        jnp.asarray(A, DTYPE), jnp.asarray(Bm, DTYPE), exp.x, exp.u,
+        exp.xx, exp.uu, exp.ux, rho, interpret=True)
+
+    model_fns = (model.step_lanes, getattr(model, "base_step_lanes", None),
+                 getattr(model, "slack_m", None))
+    assert model_fns[0] is not None and model_fns[1] is not None
+    Kf, df, v1f, v2f, failf = fused_al_backward_pallas(
+        model_fns, canon, X, U, lam, mu, dt_traj, obj, rho, interpret=True)
+
+    assert not bool(failr.any()) and not bool(failf.any())
+    scale = float(jnp.max(jnp.abs(Kr)))
+    assert float(jnp.max(jnp.abs(Kr - Kf))) < 5e-3 * scale
+    assert float(jnp.max(jnp.abs(dr - df))) < 5e-3 * max(
+        1e-3, float(jnp.max(jnp.abs(dr))))
+    assert float(jnp.max(jnp.abs(v1r - v1f))) < 2e-3 * max(
+        1e-6, float(jnp.max(jnp.abs(v1r))))
 
 
 def test_fused_al_backward_matches_riccati_kernel():

@@ -57,6 +57,91 @@ def linear_canon(rows, off):
     return ("linear", rows, off)
 
 
+def _tup(a):
+    """Nested float tuple of a numpy array (hashable spec constant)."""
+    a = np.asarray(a, np.float64)
+    if a.ndim == 1:
+        return tuple(float(v) for v in a)
+    return tuple(_tup(r) for r in a)
+
+
+def _fk_affine_coeffs(chain):
+    """Rotation-level FK coefficients per MOVING joint (revolute chains):
+    the local link←parent transform is (E(q)·Ef, rf) with
+    E(q) = (I + K²) − K²·cos q − K·sin q (Rodrigues transpose, matching
+    models/rigidbody._sweep) and (Ef, rf) the statically folded fixed-joint
+    chain — so the world sweep is
+
+        E_k = E1_k(q_k) @ E_parent,   r_k = r_parent + E_parentᵀ rf_k,
+        world axis z_k = E_kᵀ a_k,    world origin o_k = r_k,
+
+    exactly the quantities RigidBodyChain.forward_kinematics produces
+    (models/rigidbody.py:334-371), but affine in (sin q, cos q) so a Pallas
+    kernel can materialize them lane-batched from static constants.
+
+    Returns (coeffs, parents): coeffs[k] = (R0, Rs, Rc (3,3), rf (3,),
+    axis (3,)) numpy; parents[k] the parent MOVING joint index (−1 root).
+    """
+    from trajopt_tpu.models.rigidbody import _rpy_to_R, _skew_np
+
+    base = chain.all_joints[0].parent
+    frame_of = {base: (-1, np.eye(3), np.zeros(3))}
+    out, parents = [], []
+    for j in chain.all_joints:
+        p_idx, Ep, rp = frame_of[j.parent]
+        Et = _rpy_to_R(j.origin_rpy).T
+        pt = np.asarray(j.origin_xyz, np.float64)
+        # X(Et, pt) ∘ X(Ep, rp) = (Et·Ep, rp + Epᵀ·pt)
+        Ef = Et @ Ep
+        rf = rp + Ep.T @ pt
+        if j.jtype == "fixed":
+            frame_of[j.child] = (p_idx, Ef, rf)
+            continue
+        if j.jtype not in ("revolute", "continuous"):
+            raise ValueError(
+                f"fk_sphere canon supports revolute chains only ({j.jtype})")
+        axis = np.asarray(j.axis, np.float64)
+        K = _skew_np(axis)
+        K2 = K @ K
+        out.append(((np.eye(3) + K2) @ Ef, -K @ Ef, -K2 @ Ef, rf, axis))
+        parents.append(p_idx)
+        frame_of[j.child] = (len(out) - 1, np.eye(3), np.zeros(3))
+    return out, parents
+
+
+def fk_sphere_canon(chain, points, rows):
+    """Descriptor for FK-point sphere/cylinder bubble rows (the kuka
+    arm-collision constraints, reference problems/kuka_obstacles.jl:14-60):
+
+        c_row = b_row − Σ_{d ∈ dims} (p_i[d] − ctr[d])²   (inequality),
+
+    where p_i is a world point produced by the chain's forward kinematics
+    from q = x[:ndof] — either a moving-joint frame origin or an offset
+    point in a joint's link frame. The descriptor embeds the chain's static
+    rotation coefficients (see :func:`_fk_affine_coeffs`), so the fused AL
+    kernels can run the whole FK + constraint + Gauss-Newton expansion
+    in-VMEM per knot per lane; the GN rows use the geometric Jacobian
+    ∂p/∂q_k = 1[k ≤ kmax] · z_k × (p − o_k) (one FK primal, no jacfwd).
+
+    points: sequence of (joint_idx, offset (3,) or None); kmax for a point
+    is its joint_idx (offset points differentiate through that joint too).
+    rows:   sequence of (pt_idx, ctr (3,), b (float), dims tuple) in the
+            constraint's row order.
+    """
+    coeffs, parents = _fk_affine_coeffs(chain)
+    joints = tuple(
+        (_tup(R0), _tup(Rs), _tup(Rc), _tup(rf), _tup(ax))
+        for (R0, Rs, Rc, rf, ax) in coeffs)
+    pts = tuple(
+        (int(jidx), None if off is None else _tup(off))
+        for jidx, off in points)
+    rws = tuple(
+        (int(pt), _tup(ctr), float(b), tuple(int(d) for d in dims))
+        for pt, ctr, b, dims in rows)
+    meta = (len(coeffs), tuple(int(p) for p in parents), joints, pts, rws)
+    return ("fk_sphere", meta)
+
+
 class CanonStack(NamedTuple):
     """Kernel-ready canonical constraint stack.
 
@@ -106,6 +191,12 @@ def constraint_canon(con, n: int, m: int):
                 return None
             zrows.append((col, sign))
         return ("linear", tuple(zrows), off, tuple(bool(e) for e in con.equality))
+    if kind == "fk_sphere":
+        _, meta = canon
+        nd = meta[0]
+        if nd > n or bool(np.any(con.equality)):
+            return None
+        return ("fk_sphere", meta)
     return None
 
 
@@ -128,6 +219,9 @@ def canonical_stack(cs, n: int, m: int, dtype=jnp.float32) -> Optional[CanonStac
             spec.append(("sphere", r0, r1, coords))
             data.append(np.asarray(ctr.T[:, :, None], np_dtype))    # (D, p, 1)
             data.append(np.asarray(b[:, None], np_dtype))           # (p, 1)
+        elif c[0] == "fk_sphere":
+            # everything static (embedded in the spec) — no data arrays
+            spec.append(("fk_sphere", r0, r1, c[1]))
         else:
             _, zrows, off, eqs = c
             p = len(zrows)
@@ -150,6 +244,37 @@ def canonical_stack(cs, n: int, m: int, dtype=jnp.float32) -> Optional[CanonStac
 # used by tests to pin the canonical data against ConstraintSet.evaluate
 # and by the custom_vmap fallbacks. Must match the in-kernel math exactly.
 
+def fk_canon_points(meta, X):
+    """World FK points (N, npts, 3) from an fk_sphere meta — the host-side
+    reference for the in-kernel lane FK (must match
+    RigidBodyChain.forward_kinematics; pinned by tests/test_fused_al.py)."""
+    nd, parents, joints, pts_def, _rows = meta
+    dtype = X.dtype
+    q = X[:, :nd]
+    s, c = jnp.sin(q), jnp.cos(q)
+    E = [None] * nd
+    r = [None] * nd
+    for k in range(nd):
+        R0, Rs, Rc, rf, _ax = joints[k]
+        E1 = (jnp.asarray(R0, dtype)[None]
+              + jnp.asarray(Rs, dtype)[None] * s[:, k, None, None]
+              + jnp.asarray(Rc, dtype)[None] * c[:, k, None, None])
+        p = parents[k]
+        if p < 0:
+            E[k] = E1
+            r[k] = jnp.broadcast_to(jnp.asarray(rf, dtype), q.shape[:1] + (3,))
+        else:
+            E[k] = jnp.einsum("nij,njk->nik", E1, E[p])
+            r[k] = r[p] + jnp.einsum("nji,j->ni", E[p], jnp.asarray(rf, dtype))
+    out = []
+    for jidx, off in pts_def:
+        pp = r[jidx]
+        if off is not None:
+            pp = pp + jnp.einsum("nji,j->ni", E[jidx], jnp.asarray(off, dtype))
+        out.append(pp)
+    return jnp.stack(out, axis=1)
+
+
 def canon_evaluate(stack: CanonStack, n: int, m: int, X, U_pad):
     """C (N, P) from canonical data — rows NOT masked (callers rely on
     masked λ/μ). Mirrors the kernel's per-knot evaluation."""
@@ -159,7 +284,19 @@ def canon_evaluate(stack: CanonStack, n: int, m: int, X, U_pad):
     di = 0
     Z = jnp.concatenate([X, U_pad], axis=1)
     for entry in stack.spec:
-        if entry[0] == "sphere":
+        if entry[0] == "fk_sphere":
+            _, r0, r1, meta = entry
+            pts = fk_canon_points(meta, X)                      # (N, npts, 3)
+            rows = meta[4]
+            rcols = []
+            for pt, ctr, b, dims in rows:
+                acc = jnp.full((N,), b, dtype)
+                for d in dims:
+                    v = pts[:, pt, d] - ctr[d]
+                    acc = acc - v * v
+                rcols.append(acc)
+            cols.append(jnp.stack(rcols, axis=1))
+        elif entry[0] == "sphere":
             _, r0, r1, coords = entry
             ctrT, b = stack.data[di], stack.data[di + 1]
             di += 2

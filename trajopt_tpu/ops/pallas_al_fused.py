@@ -77,11 +77,119 @@ def _canon_groups(spec, data_refs):
         if entry[0] == "sphere":
             groups.append((entry, data_refs[di:di + 2]))
             di += 2
+        elif entry[0] == "fk_sphere":
+            groups.append((entry, ()))        # everything static in the spec
         else:
             groups.append((entry, data_refs[di:di + 4]))
             di += 4
     assert di == len(data_refs)
     return groups
+
+
+# ------------------------------------------ in-kernel lane FK (fk_sphere)
+#
+# Tri-state entry algebra: an FK matrix/vector entry is None (exact 0), a
+# Python float (q-independent constant — folded at trace time), or a (1, B)
+# lane row. The static rotation coefficients live in the spec
+# (ops/canonical.fk_sphere_canon), so structural zeros cost nothing.
+
+_EPSF = 1e-12
+
+
+def _fk_add(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a + b
+
+
+def _fk_mul(a, b):
+    if a is None or b is None:
+        return None
+    return a * b
+
+
+def _fk_arr(e, like):
+    """Materialize a tri-state entry as a (1, B) lane row."""
+    if e is None:
+        return jnp.zeros_like(like)
+    if isinstance(e, (int, float)):
+        return jnp.full_like(like, e)
+    return e
+
+
+def _fk_lanes(meta, x):
+    """Lane-batched FK from static affine coefficients (the kernel twin of
+    ops/canonical.fk_canon_points; models/rigidbody.forward_kinematics
+    semantics). Returns (origins, axes, points): origins[k]/axes[k]/
+    points[i] are 3-lists of (1, B) lane rows (already materialized)."""
+    nd, parents, joints, pts_def, _rows = meta
+    like = x[0:1]
+    E = [None] * nd
+    r = [None] * nd
+    for k in range(nd):
+        R0, Rs, Rc, rf, _ax = joints[k]
+        qk = x[k:k + 1]
+        s, c = jnp.sin(qk), jnp.cos(qk)
+        E1 = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for j in range(3):
+                e = None
+                if abs(R0[i][j]) > _EPSF:
+                    e = R0[i][j]
+                if abs(Rs[i][j]) > _EPSF:
+                    e = _fk_add(e, Rs[i][j] * s)
+                if abs(Rc[i][j]) > _EPSF:
+                    e = _fk_add(e, Rc[i][j] * c)
+                E1[i][j] = e
+        p = parents[k]
+        if p < 0:
+            E[k] = E1
+            r[k] = [rf[i] if abs(rf[i]) > _EPSF else None for i in range(3)]
+        else:
+            Ep, rp = E[p], r[p]
+            Ek = [[None] * 3 for _ in range(3)]
+            for i in range(3):
+                for j in range(3):
+                    acc = None
+                    for a in range(3):
+                        acc = _fk_add(acc, _fk_mul(E1[i][a], Ep[a][j]))
+                    Ek[i][j] = acc
+            E[k] = Ek
+            # r_k = r_p + Epᵀ rf   ((Epᵀ rf)[i] = Σ_a Ep[a][i]·rf[a])
+            rk = []
+            for i in range(3):
+                acc = rp[i]
+                for a in range(3):
+                    if abs(rf[a]) > _EPSF:
+                        acc = _fk_add(acc, _fk_mul(Ep[a][i], rf[a]))
+                rk.append(acc)
+            r[k] = rk
+    origins = [[_fk_arr(r[k][d], like) for d in range(3)] for k in range(nd)]
+    axes = []
+    for k in range(nd):
+        _R0, _Rs, _Rc, _rf, ax = joints[k]
+        z = []
+        for d in range(3):
+            acc = None
+            for i in range(3):
+                if abs(ax[i]) > _EPSF:
+                    acc = _fk_add(acc, _fk_mul(E[k][i][d], ax[i]))
+            z.append(_fk_arr(acc, like))
+        axes.append(z)
+    points = []
+    for jidx, off in pts_def:
+        pe = list(r[jidx])
+        if off is not None:
+            for d in range(3):
+                acc = None
+                for i in range(3):
+                    if abs(off[i]) > _EPSF:
+                        acc = _fk_add(acc, _fk_mul(E[jidx][i][d], off[i]))
+                pe[d] = _fk_add(pe[d], acc)
+        points.append([_fk_arr(pe[d], like) for d in range(3)])
+    return origins, axes, points
 
 
 def _group_c_g_imu(entry, refs, x, u, lam_k, mu_k, atol, n):
@@ -105,6 +213,28 @@ def _group_c_g_imu(entry, refs, x, u, lam_k, mu_k, atol, n):
         imu = mu_g * act
         g = imu * C + lam_g
         return C, g, imu, vs
+    if entry[0] == "fk_sphere":
+        _, r0, r1, meta = entry
+        origins, axes, points = _fk_lanes(meta, x)
+        rows_def = meta[4]
+        crows = []
+        vs_rows = []
+        for pt, ctr, b, dims in rows_def:
+            acc = None
+            vs = {}
+            for d in dims:
+                v = points[pt][d] - ctr[d]      # (1, B)
+                vs[d] = v
+                acc = v * v if acc is None else acc + v * v
+            crows.append(b - acc)
+            vs_rows.append(vs)
+        C = jnp.concatenate(crows, axis=0)      # (p, B)
+        lam_g = lam_k[r0:r1]
+        mu_g = mu_k[r0:r1]
+        act = jnp.where((C >= atol) | (lam_g > 0.0), 1.0, 0.0)
+        imu = mu_g * act
+        g = imu * C + lam_g
+        return C, g, imu, (origins, axes, points, vs_rows)
     _, r0, r1, used = entry
     off, eqm, selT, sel = refs
     C = jnp.broadcast_to(off[:], (off.shape[0], x.shape[-1]))
@@ -142,6 +272,69 @@ def _al_expansion_accumulate(spec, data_refs, x, u, lam_k, mu_k, atol, n, m,
                     alxx_ref[ca, cb:cb + 1] = alxx_ref[ca, cb:cb + 1] + h
                     if bidx != a:
                         alxx_ref[cb, ca:ca + 1] = alxx_ref[cb, ca:ca + 1] + h
+        elif entry[0] == "fk_sphere":
+            meta = entry[3]
+            nd, _parents, _joints, pts_def, rows_def = meta
+            origins, axes, points = aux[0], aux[1], aux[2]
+            vs_rows = aux[3]
+            # geometric Jacobian columns per point: Jp[i][k] =
+            # z_k × (p_i − o_k) for k ≤ kmax_i (reference
+            # kuka_obstacles obs_al_terms, problems/zoo.py) — one FK
+            # primal, no jacfwd
+            Jp = []
+            for i, (jidx, _off) in enumerate(pts_def):
+                kmax = jidx
+                cols = []
+                for k in range(nd):
+                    if k > kmax:
+                        cols.append(None)
+                        continue
+                    w = [points[i][d] - origins[k][d] for d in range(3)]
+                    z = axes[k]
+                    cols.append([
+                        z[1] * w[2] - z[2] * w[1],
+                        z[2] * w[0] - z[0] * w[2],
+                        z[0] * w[1] - z[1] * w[0],
+                    ])
+                Jp.append(cols)
+            # per-row GN accumulation into dense q-block python carriers
+            Gs = [None] * nd
+            H = [[None] * nd for _ in range(nd)]
+            for ridx, (pt, _ctr, _b, dims) in enumerate(rows_def):
+                vs = vs_rows[ridx]
+                grow = []
+                for k in range(nd):
+                    col = Jp[pt][k]
+                    if col is None:
+                        grow.append(None)
+                        continue
+                    acc = None
+                    for d in dims:
+                        t = vs[d] * col[d]
+                        acc = t if acc is None else acc + t
+                    grow.append(None if acc is None else -2.0 * acc)
+                gr = g[ridx:ridx + 1]
+                ir = imu[ridx:ridx + 1]
+                for a in range(nd):
+                    if grow[a] is None:
+                        continue
+                    t = gr * grow[a]
+                    Gs[a] = t if Gs[a] is None else Gs[a] + t
+                    iga = ir * grow[a]
+                    for bb in range(a, nd):
+                        if grow[bb] is None:
+                            continue
+                        h = iga * grow[bb]
+                        H[a][bb] = h if H[a][bb] is None else H[a][bb] + h
+            for a in range(nd):
+                if Gs[a] is not None:
+                    alx_ref[a:a + 1] = alx_ref[a:a + 1] + Gs[a]
+                for bb in range(a, nd):
+                    if H[a][bb] is None:
+                        continue
+                    alxx_ref[a, bb:bb + 1] = alxx_ref[a, bb:bb + 1] + H[a][bb]
+                    if bb != a:
+                        alxx_ref[bb, a:a + 1] = alxx_ref[bb, a:a + 1] + H[a][bb]
         else:
             used = entry[3]
             (sel,) = aux

@@ -498,6 +498,26 @@ def kuka_obstacles(dtype=jnp.float64):
         return {"x": lx, "xx": lxx}
 
     obs.al_terms = obs_al_terms
+
+    # canonical descriptor → fused-AL kernel eligibility (ops/canonical.py
+    # "fk_sphere": in-kernel lane FK + bubble rows + GN expansion; same row
+    # order as fn above: obstacle-major spheres then cylinders)
+    from trajopt_tpu.ops.canonical import fk_sphere_canon
+
+    canon_pts = [(int(b), None) for b in body_idx] + \
+        [(chain.ndof - 1, (0.0, 0.0, 0.045))]
+    canon_rows = []
+    for j in range(spheres.shape[0]):
+        for i in range(5):
+            canon_rows.append((i, spheres[j, :3],
+                               float((radii[i] + spheres[j, 3]) ** 2),
+                               (0, 1, 2)))
+    for j in range(cylinders.shape[0]):
+        for i in range(5):
+            canon_rows.append((i, (cylinders[j, 0], cylinders[j, 1], 0.0),
+                               float((radii[i] + cylinders[j, 2]) ** 2),
+                               (0, 1)))
+    obs.canon = fk_sphere_canon(chain, canon_pts, canon_rows)
     bnd = bound_constraint(n, m, u_min=-80.0, u_max=80.0)
     cons = ConstraintSetBuilder(N)
     cons.add(bnd, knots=range(0, N - 1))
