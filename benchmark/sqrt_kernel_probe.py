@@ -30,6 +30,9 @@ import numpy as np
 
 import jax
 
+if "--cpu" in sys.argv:
+    # axon TPU plugin ignores JAX_PLATFORMS (CLAUDE.md) — force explicitly
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/trajopt_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
@@ -221,6 +224,84 @@ def run(args):
           f"{float(prob.constraints.max_violation(C)):.3e}", flush=True)
 
 
+def find(args):
+    """Regenerate /tmp/sqrt_bad_idx.npy: run the full 2048-x0 pool through
+    the SAME lockstep kernel-path loop in 128-lane chunks (fixed schedule —
+    no per-lane breaks; converged lanes stay feasible under rising penalty)
+    and record the x0 indices whose final ORIGINAL c_max >= 1e-3."""
+    from trajopt_tpu.problems import zoo as probs
+    from trajopt_tpu.solvers.altro import (ALTROOptions, _penalty_rows,
+                                           infeasible_problem)
+    import trajopt_tpu as tt
+    from trajopt_tpu.solvers.ilqr import iLQROptions, reg_noise_scale
+
+    dtype = jnp.float32
+    prob = probs.quadrotor_maze(dtype=dtype)
+    B = 2048
+    rng = np.random.default_rng(0)
+    x0s_np = np.tile(np.asarray(prob.x0)[None], (B, 1)) + np.concatenate(
+        [rng.normal(size=(B, 3)) * 0.05, np.zeros((B, 10))], 1)
+
+    al_opts = tt.ALOptions(
+        iterations=OUTER,
+        opts_uncon=iLQROptions(iterations=INNER, bp_type="sqrt",
+                               bp_step_limit=STEP_LIMIT),
+        cost_tolerance=1e-5, cost_tolerance_intermediate=1e-3,
+        constraint_tolerance=1e-3, penalty_initial=1.0, penalty_scaling=25.0)
+    altro_opts = ALTROOptions(R_inf=1e-8, opts_al=al_opts)
+    prob_t = infeasible_problem(prob, altro_opts.R_inf)
+    mu0, sca = _penalty_rows(prob_t.constraints, altro_opts, dtype)
+    m = prob.model.m
+    dt0 = prob.dt_traj()[0]
+
+    step = make_step_fn(prob_t, al_opts, args.path)
+    outer_update = make_outer_fns(prob_t, al_opts)
+    N, n_t = prob_t.X.shape
+    P = prob_t.constraints.P
+
+    n, mm = prob.model.n, prob.model.m
+    score = jax.jit(jax.vmap(
+        lambda X_, U_: prob.constraints.max_violation(
+            prob.constraints.evaluate(X_[:, :n], U_[:, :mm]))))
+
+    c_all = np.zeros(B)
+    chunks = range(B // LANES) if args.chunk < 0 else [args.chunk]
+    for ci in chunks:
+        x0 = jnp.asarray(x0s_np[ci * LANES:(ci + 1) * LANES], dtype)
+        s0 = jax.vmap(lambda x_: prob.X[1] - prob.model.step(
+            x_, prob.U[0], dt0))(x0)
+        U = jnp.broadcast_to(prob_t.U, (LANES,) + prob_t.U.shape
+                             ).at[:, 0, m:].set(s0)
+        X = jax.vmap(lambda x_: prob_t.X.at[0].set(x_))(x0)
+        lam = jnp.zeros((LANES, N, P), dtype)
+        mu = jnp.broadcast_to(mu0[None] * prob_t.constraints.mask,
+                              (LANES, N, P))
+        for outer in range(OUTER):
+            rho = jnp.zeros((LANES,), dtype)
+            drho = jnp.ones((LANES,), dtype)
+            rs = jax.vmap(lambda m_: reg_noise_scale(m_, dtype))(mu)
+            for it in range(INNER):
+                X, U, rho, drho, K, d, diag = step(
+                    X, U, lam, mu, rho, drho, rs)
+            lam, mu, c_max = outer_update(X, U, lam, mu, sca)
+            if float(jnp.max(c_max)) < al_opts.constraint_tolerance:
+                break
+        c_orig = np.asarray(score(X, U))
+        c_all[ci * LANES:(ci + 1) * LANES] = c_orig
+        nfail = int((c_orig >= 1e-3).sum())
+        print(f"[find/{args.path}] chunk {ci:2d}  outers {outer + 1}  "
+              f"fail {nfail}/128  med c {np.median(c_orig):.2e}", flush=True)
+    bad = np.where(c_all >= 1e-3)[0]
+    print(f"[find/{args.path}] TOTAL fail {bad.size}/{B}", flush=True)
+    tag = args.path + ("_cpu" if args.cpu else "")
+    if args.chunk < 0 and tag == "kernel":
+        np.save("/tmp/sqrt_bad_idx.npy", bad)
+        np.save("/tmp/sqrt_cmax_kernel.npy", c_all)
+        print(f"saved /tmp/sqrt_bad_idx.npy ({bad.size} idx)", flush=True)
+    else:
+        np.save(f"/tmp/sqrt_cmax_{tag}_c{args.chunk}.npy", c_all)
+
+
 def compare(args):
     for p in ("kernel", "scan"):
         fn = f"/tmp/sqrt_probe/{args.seed_rank}/{p}/log.json"
@@ -282,7 +363,10 @@ def cross(args):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["run", "compare", "cross"])
+    ap.add_argument("mode", choices=["run", "compare", "cross", "find"])
+    ap.add_argument("--chunk", type=int, default=-1,
+                    help="find mode: single 128-lane chunk (-1 = all)")
+    ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--path", default="kernel", choices=["kernel", "scan"])
     ap.add_argument("--seed-rank", type=int, default=0)
     ap.add_argument("--src", default="kernel", choices=["kernel", "scan"])
@@ -294,5 +378,7 @@ if __name__ == "__main__":
         run(args)
     elif args.mode == "compare":
         compare(args)
+    elif args.mode == "find":
+        find(args)
     else:
         cross(args)
