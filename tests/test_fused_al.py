@@ -122,6 +122,32 @@ def test_canonical_stack_rejects_non_canonical():
     assert st is None
 
 
+def test_fk_stacks_default_to_phase_split_dispatch():
+    """fk_sphere stacks are fused-AL-INELIGIBLE by default (measured loss:
+    full-fused 22.4 / hybrid 41.4 / phase-split 44.7 kuka solves/s,
+    benchmark/kuka_ab.py round 5); fused_al_fk=True opts into the hybrid,
+    and non-fk stacks stay eligible."""
+    from trajopt_tpu.problems import zoo as probs
+    from trajopt_tpu.solvers.ilqr import (ALFusedMeta, _canon_has_fk,
+                                          _fused_al_eligible)
+
+    prob = infeasible_problem(probs.kuka_obstacles(dtype=DTYPE), 1e-8)
+    canon = canonical_stack(prob.constraints, prob.model.n, prob.model.m)
+    assert canon is not None and _canon_has_fk(canon)
+    meta = ALFusedMeta(objective=prob.obj, cs=prob.constraints, canon=canon,
+                       lam=None, mu=None, atol=0.0)
+    assert not _fused_al_eligible(prob.model, iLQROptions(), meta)
+    assert _fused_al_eligible(prob.model, iLQROptions(fused_al_fk=True),
+                              meta)
+
+    p2 = infeasible_problem(probs.car_escape(dtype=DTYPE), 1e-8)
+    c2 = canonical_stack(p2.constraints, p2.model.n, p2.model.m)
+    assert not _canon_has_fk(c2)
+    m2 = ALFusedMeta(objective=p2.obj, cs=p2.constraints, canon=c2,
+                     lam=None, mu=None, atol=0.0)
+    assert _fused_al_eligible(p2.model, iLQROptions(), m2)
+
+
 def test_kuka_fk_canonical_stack_matches_evaluate():
     """The fk_sphere rows (VERDICT r4 item 2) reproduce the kuka FK-bubble
     constraint stack (reference problems/kuka_obstacles.jl:14-60) both on

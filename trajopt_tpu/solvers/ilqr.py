@@ -82,6 +82,16 @@ class iLQROptions:
     # ineligible solves (non-canonical stacks, CPU, odd batches) fall
     # back to the phase-split path unchanged.
     fused_al: bool = True
+    # fk_sphere canonical stacks (chain-FK bubble rows, i.e. kuka) in the
+    # fused-AL kernels: OFF by default. Measured on kuka_obstacles B=128
+    # (benchmark/kuka_ab.py, round 5): full-fused 22.4, hybrid
+    # (fused forward + phase-split BP) 41.4, phase-split 44.7 solves/s —
+    # the in-lane FK serializes over knots what XLA evaluates parallel
+    # over N, and the in-kernel per-knot linearization of the chain
+    # dynamics is ~2× the whole phase-split BP. Opting in gives the
+    # HYBRID mode (the least-bad fused variant; the BP kernel is never
+    # used for fk stacks).
+    fused_al_fk: bool = False
     # Proximal step-limit policy (new; no reference counterpart): when > 0,
     # a backward sweep whose relative feedforward step
     # mean_k max_j |d_kj|/(|u_kj|+1) exceeds this bound is ρ-escalated and
@@ -945,6 +955,7 @@ def _fused_al_eligible(model, opts: iLQROptions, meta):
     return ((opts.fused or opts.fused_al)
             and meta is not None
             and meta.canon is not None
+            and (opts.fused_al_fk or not _canon_has_fk(meta.canon))
             and isinstance(meta.objective, Objective)
             and getattr(model, "step_lanes", None) is not None
             and opts.bp_type == "scan"
@@ -953,6 +964,13 @@ def _fused_al_eligible(model, opts: iLQROptions, meta):
             and opts.bp_step_limit == 0.0
             and opts.max_state_value == 1e8
             and opts.max_control_value == 1e8)
+
+
+def _canon_has_fk(canon):
+    """True if the canonical stack carries fk_sphere rows (chain-FK
+    constraint groups — ops/canonical.py)."""
+    return canon is not None and any(
+        entry[0] == "fk_sphere" for entry in canon.spec)
 
 
 def _fused_al_bp_tile_bytes(N, n, m, P):
@@ -1296,6 +1314,16 @@ def ilqr_solve(
 
     use_fused = _fused_eligible(model, opts, objective)
     use_fused_al = _fused_al_eligible(model, opts, al_meta)
+    # fk_sphere stacks (opt-in via fused_al_fk) run HYBRID: the backward
+    # kernel's in-kernel per-knot linearization serializes ~(n+m_base)
+    # Featherstone tangent sweeps per knot and measured 2.0x SLOWER than
+    # the phase-split BP at kuka shapes (benchmark/kuka_ab.py round 5:
+    # full-fused 22.4 / hybrid 41.4 / phase-split 44.7 solves/s, plus a
+    # 25-min Mosaic compile) — so the BP kernel is never used for fk
+    # stacks, and by default fk stacks are fully ineligible
+    # (_fused_al_eligible) and take the phase-split path.
+    use_fused_al_bp = use_fused_al and not _canon_has_fk(
+        al_meta.canon if al_meta is not None else None)
     if use_fused_al:
         al_bp, al_fp = _make_fused_al_dispatches(model, opts, al_meta)
         lam_al, mu_al = al_meta.lam, al_meta.mu
@@ -1305,7 +1333,7 @@ def ilqr_solve(
         (X, U, K, d, J_prev, dJ, grad, rho_c, drho_c, dJ_zero, it, _,
          a_prev) = st
 
-        if use_fused_al:
+        if use_fused_al_bp:
             K, d, dV1, dV2, rho_c, drho_c = al_bp(
                 X, U, dt_traj, obj_al, cs_al, lam_al, mu_al, rho_c, drho_c)
         elif use_fused:
