@@ -280,6 +280,49 @@ def test_queued_altro_batch_strips_slacks_and_scores_original():
     assert np.allclose(np.asarray(out.X[:, -1]), xf[None], atol=1e-2)
 
 
+def test_queued_altro_retry_resolves_failed_subset():
+    """solve_batch_queued_altro_retry re-enqueues exactly the
+    non-converged problems under a scaled penalty schedule and merges
+    only rows the retry actually solved (round-5 chaotic-failure rescue;
+    no reference counterpart — the reference is single-solve)."""
+    from trajopt_tpu.parallel.batch import (solve_batch_queued_altro,
+                                            solve_batch_queued_altro_retry)
+    from trajopt_tpu.problems import zoo as probs
+    from trajopt_tpu.solvers.altro import ALTROOptions
+    import dataclasses
+
+    base = probs.pendulum()
+    seed = jnp.linspace(jnp.zeros(2), jnp.asarray(base.xf), base.N)
+    prob = tt.update_problem(base, X=seed)
+    B = 8
+    rng = np.random.default_rng(2)
+    x0s = jnp.asarray(rng.normal(size=(B, 2)) * 0.1)
+    opts = ALTROOptions(R_inf=1e-4)
+
+    # a schedule too short to converge: every lane fails the first pass,
+    # the retry (same outer budget, scaled mu0) must rescue some/all
+    short = dataclasses.replace(
+        opts, opts_al=dataclasses.replace(opts.opts_al, iterations=2))
+    r0 = jax.jit(lambda xs: solve_batch_queued_altro(
+        prob, short, xs, lanes=4))(x0s)
+    n_fail0 = int(np.sum(~(np.asarray(r0.c_max) < 1e-3)))
+    assert n_fail0 > 0, "schedule unexpectedly converged; tighten the test"
+
+    r, n_retried = solve_batch_queued_altro_retry(
+        prob, short, x0s, lanes=4, tol=1e-3, mu_retry_scale=100.0,
+        max_retries=1)
+    assert n_retried == n_fail0
+    # merge can only improve: every row's c_max <= the first-pass row
+    assert bool(np.all(np.asarray(r.c_max) <= np.asarray(r0.c_max) + 1e-12))
+    assert r.X.shape == r0.X.shape and r.U.shape == r0.U.shape
+
+    # converged pools skip the retry entirely
+    r_full, n0 = solve_batch_queued_altro_retry(
+        prob, opts, x0s, lanes=4, tol=1e-3)
+    assert n0 == 0
+    assert bool(np.all(np.asarray(r_full.c_max) < 1e-3))
+
+
 def test_parallel_riccati_overactuated_and_psd_stage_cost():
     """Two review regressions of the square-root scan form:
     (a) m > n (over-actuated / ALTRO slack-augmented models) crashed at

@@ -158,7 +158,8 @@ def solve_batch_queued(prob: Problem, opts: ALOptions, x0s, lanes: int = 128,
 
 def solve_batch_queued_altro(prob: Problem, opts, x0s, lanes: int = 128,
                              infeasible: Optional[bool] = None,
-                             constraint_tolerance=None) -> QueuedBatchResult:
+                             constraint_tolerance=None,
+                             mu_scale: float = 1.0) -> QueuedBatchResult:
     """Streaming batched AL stage of ALTRO (the throughput-mode counterpart
     of :func:`trajopt_tpu.solvers.altro.altro_solve`): applies the
     infeasible-start slack transform + ALTRO's per-row penalty schedules,
@@ -178,6 +179,9 @@ def solve_batch_queued_altro(prob: Problem, opts, x0s, lanes: int = 128,
         infeasible = bool(np.all(np.isfinite(jax.device_get(prob.X))))
     prob_t = infeasible_problem(prob, opts.R_inf) if infeasible else prob
     mu0, sca = _penalty_rows(prob_t.constraints, opts, dtype)
+    # mu_scale: deterministic schedule perturbation for failed-lane
+    # retries (solve_batch_queued_altro_retry)
+    mu0 = mu0 * jnp.asarray(mu_scale, dtype)
     U0s = None
     if infeasible:
         # the transform seeds slacks from the TEMPLATE x0's knot-0 defect
@@ -201,6 +205,68 @@ def solve_batch_queued_altro(prob: Problem, opts, x0s, lanes: int = 128,
     return QueuedBatchResult(X=Xs, U=Us, c_max=c_max, J=res.J,
                              iterations_total=res.iterations_total,
                              rounds=res.rounds)
+
+
+def solve_batch_queued_altro_retry(prob: Problem, opts, x0s,
+                                   lanes: int = 128,
+                                   infeasible: Optional[bool] = None,
+                                   constraint_tolerance=None,
+                                   tol: float = 1e-3,
+                                   mu_retry_scale: float = 4.0,
+                                   max_retries: int = 1):
+    """Queued-pool ALTRO solve + host-level re-solve of the non-converged
+    subset under a scaled initial-penalty schedule.
+
+    Rationale (round-5 measurement, BENCH_LOCAL.md): ~6% of maze-pool
+    seeds fail under any ONE compiled artifact's f32 rounding, yet the
+    same seeds solve under a perturbed iterate path (round 4: the
+    kernel-path failing subset converges 93.6% under the scan sweep and
+    100% under CPU-f32) — the failures are chaotic, not problem-hard. A
+    deterministic
+    schedule perturbation (mu0 × ``mu_retry_scale``) re-solves exactly
+    the failed problems; the retry pool is padded to the lane width, so
+    its cost is ~(n_failed/B) of the main pass. Returns
+    (QueuedBatchResult, n_retried).
+
+    Host-level control flow: NOT jittable (the failed subset is
+    data-dependent). The two inner programs (main pool, retry pool) are
+    jitted and persistently cached.
+    """
+    r = jax.jit(lambda xs: solve_batch_queued_altro(
+        prob, opts, xs, lanes=lanes, infeasible=infeasible,
+        constraint_tolerance=constraint_tolerance))(x0s)
+    n_retried = 0
+    for trip in range(1, max_retries + 1):
+        c = np.asarray(jax.device_get(r.c_max))
+        fail = np.where(~(c < tol))[0]
+        if fail.size == 0:
+            break
+        n_retried += int(fail.size)
+        L = min(lanes, x0s.shape[0])
+        K = max(L, ((fail.size + L - 1) // L) * L)
+        pad = np.resize(fail, K)              # cycle failed idx into pads
+        xs_r = jnp.asarray(np.asarray(jax.device_get(x0s))[pad])
+        scale = float(mu_retry_scale ** trip)
+        r2 = jax.jit(lambda xs, _s=scale: solve_batch_queued_altro(
+            prob, opts, xs, lanes=lanes, infeasible=infeasible,
+            constraint_tolerance=constraint_tolerance, mu_scale=_s))(xs_r)
+        # merge: keep the retry result where it solved a failed problem
+        c2 = np.asarray(jax.device_get(r2.c_max))
+        took = {}
+        for row, pidx in enumerate(pad):
+            if c2[row] < tol and (pidx not in took or c2[row] < c2[took[pidx]]):
+                took[pidx] = row
+        if not took:
+            continue
+        rows = np.asarray(sorted(took.values()), np.int32)
+        idxs = np.asarray([pad[rw] for rw in rows], np.int32)
+        upd = lambda a, b: jnp.asarray(a).at[idxs].set(jnp.asarray(b)[rows])
+        r = QueuedBatchResult(
+            X=upd(r.X, r2.X), U=upd(r.U, r2.U),
+            c_max=upd(r.c_max, r2.c_max), J=upd(r.J, r2.J),
+            iterations_total=upd(r.iterations_total, r2.iterations_total),
+            rounds=r.rounds + r2.rounds)
+    return r, n_retried
 
 
 def solve_batch_warm(prob: Problem, opts, x0s, lanes: int = 128,
