@@ -112,7 +112,7 @@ def bench_maze():
     # slowest straggler (plain vmap: 28-117 solves/s across seeds). Pool
     # scaling measured 145.5 / 188.0 / 188.6 at 1024/2048/4096 (conv 1.0,
     # med c_max 4e-5) — 2048 is the plateau.
-    from trajopt_tpu.parallel.batch import solve_batch_queued_altro
+    from trajopt_tpu.parallel.batch import solve_batch_queued_altro_retry
 
     B = 2048
     rng = np.random.default_rng(0)
@@ -135,8 +135,15 @@ def bench_maze():
         penalty_initial=1.0, penalty_scaling=25.0)
     opts = ALTROOptions(R_inf=1e-8, opts_al=al_sched)
 
-    solve = jax.jit(lambda xs: solve_batch_queued_altro(
-        prob, opts, xs, lanes=128, infeasible=True))
+    # failed-lane retry (round 5): ~6% of seeds are chaotic losers of any
+    # one compiled artifact's f32 rounding; re-solving exactly that
+    # subset under mu0×4 costs ~6% and lifts conv to ~0.997+ at the
+    # REFERENCE 1e-3 bar. The retry is host-level, so it is timed
+    # inside the reps (all device work counted).
+    def solve(xs):
+        return solve_batch_queued_altro_retry(
+            prob, opts, xs, lanes=128, infeasible=True, tol=1e-3)[0]
+
     r = solve(x0s)
     jax.block_until_ready(r.X)
     # median of 3 timed reps (same rationale as bench_ilqr: the single-rep

@@ -207,6 +207,14 @@ def solve_batch_queued_altro(prob: Problem, opts, x0s, lanes: int = 128,
                              rounds=res.rounds)
 
 
+# jitted-program cache for solve_batch_queued_altro_retry: keyed by the
+# IDENTITY of (prob, opts) plus the static knobs — callers (bench loops,
+# drivers) hold the same problem/options objects across reps, which is
+# exactly the reuse this enables. Bounded: one entry per distinct solver
+# configuration the process touches.
+_RETRY_JIT_CACHE: dict = {}
+
+
 def solve_batch_queued_altro_retry(prob: Problem, opts, x0s,
                                    lanes: int = 128,
                                    infeasible: Optional[bool] = None,
@@ -230,11 +238,23 @@ def solve_batch_queued_altro_retry(prob: Problem, opts, x0s,
 
     Host-level control flow: NOT jittable (the failed subset is
     data-dependent). The two inner programs (main pool, retry pool) are
-    jitted and persistently cached.
+    jitted once per (problem, options, schedule) and reused across calls
+    — a fresh ``jax.jit(lambda ...)`` per call would retrace the queued
+    program (tens of seconds at maze shapes) on every bench rep.
     """
-    r = jax.jit(lambda xs: solve_batch_queued_altro(
-        prob, opts, xs, lanes=lanes, infeasible=infeasible,
-        constraint_tolerance=constraint_tolerance))(x0s)
+    def _solver(scale):
+        key = (id(prob), id(opts), lanes, infeasible,
+               constraint_tolerance, scale)
+        fn = _RETRY_JIT_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(lambda xs: solve_batch_queued_altro(
+                prob, opts, xs, lanes=lanes, infeasible=infeasible,
+                constraint_tolerance=constraint_tolerance,
+                mu_scale=scale))
+            _RETRY_JIT_CACHE[key] = fn
+        return fn
+
+    r = _solver(1.0)(x0s)
     n_retried = 0
     for trip in range(1, max_retries + 1):
         c = np.asarray(jax.device_get(r.c_max))
@@ -247,9 +267,7 @@ def solve_batch_queued_altro_retry(prob: Problem, opts, x0s,
         pad = np.resize(fail, K)              # cycle failed idx into pads
         xs_r = jnp.asarray(np.asarray(jax.device_get(x0s))[pad])
         scale = float(mu_retry_scale ** trip)
-        r2 = jax.jit(lambda xs, _s=scale: solve_batch_queued_altro(
-            prob, opts, xs, lanes=lanes, infeasible=infeasible,
-            constraint_tolerance=constraint_tolerance, mu_scale=_s))(xs_r)
+        r2 = _solver(scale)(xs_r)
         # merge: keep the retry result where it solved a failed problem
         c2 = np.asarray(jax.device_get(r2.c_max))
         took = {}
