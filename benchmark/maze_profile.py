@@ -5,6 +5,7 @@ top device ops by total self-time — the only reliable per-kernel meter
 through the TPU tunnel (separately-jitted timings carry tens of ms of
 host noise; CLAUDE.md).
 """
+import collections
 import glob
 import gzip
 import json
@@ -28,7 +29,7 @@ from trajopt_tpu.solvers.altro import ALTROOptions
 from trajopt_tpu.solvers.ilqr import iLQROptions
 
 
-def main(fused=True, B=256, outdir="/tmp/maze_trace"):
+def main(fused=True, B=256, outdir="/tmp/maze_trace", lanes=128):
     dtype = jnp.float32
     prob = probs.quadrotor_maze(dtype=dtype)
     rng = np.random.default_rng(0)
@@ -42,7 +43,7 @@ def main(fused=True, B=256, outdir="/tmp/maze_trace"):
         constraint_tolerance=1e-3, penalty_initial=1.0, penalty_scaling=25.0)
     opts = ALTROOptions(R_inf=1e-8, opts_al=al)
     solve = jax.jit(lambda xs: solve_batch_queued_altro(
-        prob, opts, xs, lanes=128, infeasible=True))
+        prob, opts, xs, lanes=lanes, infeasible=True))
     jax.block_until_ready(solve(x0s).X)          # compile outside the trace
 
     os.system(f"rm -rf {outdir}")
@@ -78,6 +79,27 @@ def main(fused=True, B=256, outdir="/tmp/maze_trace"):
         print(f"{ms:9.1f} ms  {100 * ms / max(total, 1e-9):5.1f}%  "
               f"{name[:110]}")
 
+    # glue-vs-kernel classification (VERDICT r4 item 5): attribute the
+    # queued driver's per-round compaction scatter/gather + lane
+    # bookkeeping as its own line item next to the Pallas kernels
+    def _bucket(name):
+        nl = name.lower()
+        if "pallas" in nl or "custom-call" in nl or "tpu_custom_call" in nl:
+            return "pallas_kernel"
+        if ("scatter" in nl or "gather" in nl or "dynamic-update" in nl
+                or "dynamic_update" in nl or "dynamic-slice" in nl
+                or "cumsum" in nl or "sort" in nl or "iota" in nl):
+            return "compaction_glue"
+        if "copy" in nl or "bitcast" in nl or "transpose" in nl:
+            return "layout"
+        return "xla_other"
+    buckets = collections.Counter()
+    for name, ms in agg.items():
+        buckets[_bucket(name)] += ms
+    print("-- buckets --", flush=True)
+    for bname, ms in buckets.most_common():
+        print(f"{ms:9.1f} ms  {100 * ms / max(total, 1e-9):5.1f}%  {bname}")
+
 
 if __name__ == "__main__":
     import argparse
@@ -85,5 +107,6 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase-split", action="store_true")
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--lanes", type=int, default=128)
     args = ap.parse_args()
-    main(fused=not args.phase_split, B=args.batch)
+    main(fused=not args.phase_split, B=args.batch, lanes=args.lanes)

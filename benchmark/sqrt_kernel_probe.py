@@ -274,8 +274,10 @@ def find(args):
                              ).at[:, 0, m:].set(s0)
         X = jax.vmap(lambda x_: prob_t.X.at[0].set(x_))(x0)
         lam = jnp.zeros((LANES, N, P), dtype)
-        mu = jnp.broadcast_to(mu0[None] * prob_t.constraints.mask,
-                              (LANES, N, P))
+        mu_row = mu0[None] * prob_t.constraints.mask
+        if args.mu_scale != 1.0:   # keep the scale-1 jaxpr byte-identical
+            mu_row = mu_row * args.mu_scale
+        mu = jnp.broadcast_to(mu_row, (LANES, N, P))
         for outer in range(OUTER):
             rho = jnp.zeros((LANES,), dtype)
             drho = jnp.ones((LANES,), dtype)
@@ -283,6 +285,13 @@ def find(args):
             for it in range(INNER):
                 X, U, rho, drho, K, d, diag = step(
                     X, U, lam, mu, rho, drho, rs)
+                if args.diag and outer < 2:
+                    print(f"  o{outer} i{it} J[med] "
+                          f"{float(jnp.median(diag['J'])):.4e} "
+                          f"alpha[med] {float(jnp.median(diag['alpha'])):.3f} "
+                          f"dmax[med] {float(jnp.median(diag['d_max'])):.3e} "
+                          f"rho[med] {float(jnp.median(diag['rho'])):.2e}",
+                          flush=True)
             lam, mu, c_max = outer_update(X, U, lam, mu, sca)
             if float(jnp.max(c_max)) < al_opts.constraint_tolerance:
                 break
@@ -293,7 +302,8 @@ def find(args):
               f"fail {nfail}/128  med c {np.median(c_orig):.2e}", flush=True)
     bad = np.where(c_all >= 1e-3)[0]
     print(f"[find/{args.path}] TOTAL fail {bad.size}/{B}", flush=True)
-    tag = args.path + ("_cpu" if args.cpu else "")
+    tag = args.path + ("_cpu" if args.cpu else "") + (
+        "" if args.mu_scale == 1.0 else f"_mu{args.mu_scale:g}")
     if args.chunk < 0 and tag == "kernel":
         np.save("/tmp/sqrt_bad_idx.npy", bad)
         np.save("/tmp/sqrt_cmax_kernel.npy", c_all)
@@ -367,6 +377,13 @@ if __name__ == "__main__":
     ap.add_argument("--chunk", type=int, default=-1,
                     help="find mode: single 128-lane chunk (-1 = all)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--diag", action="store_true",
+                    help="find mode: print per-iteration lane medians for "
+                    "the first two outers")
+    ap.add_argument("--mu-scale", type=float, default=1.0,
+                    help="find mode: scale mu0 (input-only perturbation — "
+                    "no recompile; tests whether the failing set is "
+                    "seed-systematic or rounding-chaotic)")
     ap.add_argument("--path", default="kernel", choices=["kernel", "scan"])
     ap.add_argument("--seed-rank", type=int, default=0)
     ap.add_argument("--src", default="kernel", choices=["kernel", "scan"])
