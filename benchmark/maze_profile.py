@@ -64,39 +64,54 @@ def main(fused=True, B=256, outdir="/tmp/maze_trace", lanes=128):
                  and e.get("name") == "process_name"}
     dev_pids = {p for p, nm in pid_names.items()
                 if "TPU" in nm or "Device" in nm or "/device" in nm.lower()}
-    agg = {}
-    total = 0.0
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
-            continue
-        name = e.get("name", "?")
-        dur = e.get("dur", 0) / 1e3      # ms
-        agg[name] = agg.get(name, 0.0) + dur
-        total += dur
-    print(f"device total {total:.1f} ms across {len(agg)} op names "
-          f"(pids {sorted(dev_pids)})", flush=True)
-    for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:25]:
-        print(f"{ms:9.1f} ms  {100 * ms / max(total, 1e-9):5.1f}%  "
-              f"{name[:110]}")
+    # EXCLUSIVE-time accounting on the "XLA Ops" lane: device spans are
+    # hierarchical (jit_fn > while > body > leaf ops), so flat summing
+    # double-counts parents and hides everything executed inside loop
+    # bodies. Stack-based self-time = span − direct children.
+    ev = [e for e in events if e.get("ph") == "X"
+          and e.get("pid") in dev_pids]
+    ev.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+    self_t = collections.Counter()
+    n_ex = collections.Counter()
+    stack = []
+    for e in ev:
+        ts, dur, name = e["ts"], e.get("dur", 0), e.get("name", "?")
+        while stack and ts >= stack[-1][0] + stack[-1][1]:
+            stack.pop()
+        if stack:
+            self_t[stack[-1][2]] -= dur
+        self_t[name] += dur
+        n_ex[name] += 1
+        stack.append((ts, dur, name))
+    total = sum(self_t.values()) / 1e3
+    print(f"device exclusive total {total:.1f} ms across {len(self_t)} "
+          f"op names (pids {sorted(dev_pids)})", flush=True)
+    for name, us in self_t.most_common(25):
+        ms = us / 1e3
+        print(f"{ms:9.1f} ms x{n_ex[name]:7d}  "
+              f"{100 * ms / max(total, 1e-9):5.1f}%  {name[:100]}")
 
-    # glue-vs-kernel classification (VERDICT r4 item 5): attribute the
-    # queued driver's per-round compaction scatter/gather + lane
-    # bookkeeping as its own line item next to the Pallas kernels
+    # glue-vs-kernel classification (VERDICT r4 item 5): loop bodies with
+    # untraced interiors (the Pallas kernel programs + retry/linesearch
+    # whiles) vs the inter-kernel layout ops (lane reshapes/copies) vs
+    # compaction scatter/gather.
     def _bucket(name):
         nl = name.lower()
-        if "pallas" in nl or "custom-call" in nl or "tpu_custom_call" in nl:
-            return "pallas_kernel"
+        if nl.startswith("body") or nl.startswith("while") \
+                or "custom-call" in nl or "pallas" in nl:
+            return "kernel+loop_bodies"
         if ("scatter" in nl or "gather" in nl or "dynamic-update" in nl
                 or "dynamic_update" in nl or "dynamic-slice" in nl
                 or "cumsum" in nl or "sort" in nl or "iota" in nl):
             return "compaction_glue"
-        if "copy" in nl or "bitcast" in nl or "transpose" in nl:
-            return "layout"
+        if ("copy" in nl or "bitcast" in nl or "transpose" in nl
+                or "reshape" in nl or "broadcast" in nl):
+            return "layout_glue"
         return "xla_other"
     buckets = collections.Counter()
-    for name, ms in agg.items():
-        buckets[_bucket(name)] += ms
-    print("-- buckets --", flush=True)
+    for name, us in self_t.items():
+        buckets[_bucket(name)] += us / 1e3
+    print("-- buckets (exclusive) --", flush=True)
     for bname, ms in buckets.most_common():
         print(f"{ms:9.1f} ms  {100 * ms / max(total, 1e-9):5.1f}%  {bname}")
 
