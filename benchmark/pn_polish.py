@@ -22,6 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--cpu", action="store_true", help="f64 CPU (1e-8 target)")
+ap.add_argument("--x64", action="store_true",
+                help="f64 PN on the current backend (TPU: emulated f64 — "
+                "slow, but the q=89 maze KKT is f32-conditioning-limited; "
+                "round-5 f32 run degraded c_max med 5.6e-6 → 7.1e-5)")
 ap.add_argument("--batch", type=int, default=256)
 ap.add_argument("--chunk", type=int, default=8)
 args = ap.parse_args()
@@ -30,6 +34,8 @@ import jax
 
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+elif args.x64:
     jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/trajopt_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -70,17 +76,23 @@ def main():
     print(f"AL stage: {B} solves in {t_al:.1f}s (incl. compile)  "
           f"c_max med {np.median(c_al):.2e} max {c_al.max():.2e}", flush=True)
 
-    ftol = 1e-8 if args.cpu else 1e-6
+    ftol = 1e-8 if (args.cpu or args.x64) else 1e-6
     pn_opts = PNOptions(feasibility_tolerance=ftol, refine_iters=25)
-    polish = jax.jit(lambda Xs, Us: pn_polish_batch(prob, Xs, Us, pn_opts))
+    prob_pn = prob
+    if args.x64 and not args.cpu:
+        # AL stage stays f32 (fast path); the PN KKT runs in emulated f64
+        prob_pn = probs.quadrotor_maze(dtype=jnp.float64)
+    polish = jax.jit(lambda Xs, Us: pn_polish_batch(prob_pn, Xs, Us,
+                                                    pn_opts))
 
     Xs = np.asarray(r.X)
     Us = np.asarray(r.U)
     viols, c_pn = [], []
     t0 = time.perf_counter()
+    pn_dtype = jnp.float64 if (args.cpu or args.x64) else jnp.float32
     for i in range(0, B, args.chunk):
-        out = polish(jnp.asarray(Xs[i:i + args.chunk]),
-                     jnp.asarray(Us[i:i + args.chunk]))
+        out = polish(jnp.asarray(Xs[i:i + args.chunk], pn_dtype),
+                     jnp.asarray(Us[i:i + args.chunk], pn_dtype))
         jax.block_until_ready(out.X)
         viols.append(np.asarray(out.viol))
         c_pn.append(np.asarray(out.c_max))
