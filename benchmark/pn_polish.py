@@ -28,6 +28,12 @@ ap.add_argument("--x64", action="store_true",
                 "round-5 f32 run degraded c_max med 5.6e-6 → 7.1e-5)")
 ap.add_argument("--batch", type=int, default=256)
 ap.add_argument("--chunk", type=int, default=8)
+ap.add_argument("--al-cache", default="",
+                help="npz path: load the AL-stage pool from it if present, "
+                "else solve and save. Lets the PN run in a separate "
+                "process/config — the Pallas AL programs fault the TPU "
+                "under jax_enable_x64 (round 5), so --x64 should only see "
+                "the (Pallas-free) PN stage")
 args = ap.parse_args()
 
 import jax
@@ -66,15 +72,30 @@ def main():
         cost_tolerance=1e-5, cost_tolerance_intermediate=1e-3,
         constraint_tolerance=1e-3, penalty_initial=1.0, penalty_scaling=25.0)
     opts = ALTROOptions(R_inf=1e-8, opts_al=al)
-    solve = jax.jit(lambda xs: solve_batch_queued_altro(
-        prob, opts, xs, lanes=min(128, B), infeasible=True))
-    t0 = time.perf_counter()
-    r = solve(x0s)
-    jax.block_until_ready(r.X)
-    t_al = time.perf_counter() - t0
-    c_al = np.asarray(r.c_max)
-    print(f"AL stage: {B} solves in {t_al:.1f}s (incl. compile)  "
-          f"c_max med {np.median(c_al):.2e} max {c_al.max():.2e}", flush=True)
+    if args.al_cache and os.path.exists(args.al_cache):
+        st = np.load(args.al_cache)
+        Xs_np, Us_np, c_al = st["X"], st["U"], st["c_max"]
+        assert Xs_np.shape[0] == B, (Xs_np.shape, B)
+        print(f"AL stage loaded from {args.al_cache}  "
+              f"c_max med {np.median(c_al):.2e} max {c_al.max():.2e}",
+              flush=True)
+        r = None
+    else:
+        solve = jax.jit(lambda xs: solve_batch_queued_altro(
+            prob, opts, xs, lanes=min(128, B), infeasible=True))
+        t0 = time.perf_counter()
+        r = solve(x0s)
+        jax.block_until_ready(r.X)
+        t_al = time.perf_counter() - t0
+        c_al = np.asarray(r.c_max)
+        Xs_np, Us_np = np.asarray(r.X), np.asarray(r.U)
+        print(f"AL stage: {B} solves in {t_al:.1f}s (incl. compile)  "
+              f"c_max med {np.median(c_al):.2e} max {c_al.max():.2e}",
+              flush=True)
+        if args.al_cache:
+            np.savez(args.al_cache, X=Xs_np, U=Us_np, c_max=c_al)
+            print(f"AL pool saved to {args.al_cache}", flush=True)
+            return
 
     ftol = 1e-8 if (args.cpu or args.x64) else 1e-6
     pn_opts = PNOptions(feasibility_tolerance=ftol, refine_iters=25)
@@ -85,8 +106,8 @@ def main():
     polish = jax.jit(lambda Xs, Us: pn_polish_batch(prob_pn, Xs, Us,
                                                     pn_opts))
 
-    Xs = np.asarray(r.X)
-    Us = np.asarray(r.U)
+    Xs = Xs_np
+    Us = Us_np
     viols, c_pn = [], []
     t0 = time.perf_counter()
     pn_dtype = jnp.float64 if (args.cpu or args.x64) else jnp.float32

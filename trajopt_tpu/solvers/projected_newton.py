@@ -42,6 +42,15 @@ class PNOptions:
     max_projection_iters: int = 10
     max_refinements: int = 10
     linesearch_iters: int = 10
+    # Jacobi-equilibrate the Schur blocks before the block Cholesky (no
+    # reference counterpart — CHOLMOD in f64 never needed it): the maze
+    # active-set S mixes defect rows at dynamics scale with obstacle
+    # rows at penalty scale and inactive rows at ridge scale, and the
+    # RAW f32 factorization at q = 89 produced garbage Newton steps
+    # (polish DEGRADED med c_max 5.6e-6 → 7.1e-5 — BENCH_LOCAL round 5).
+    # Factor diag(s)·S·diag(s) with unit diagonal and unscale the solve;
+    # refinement still runs against the unscaled unregularized S.
+    equilibrate: bool = True
 
 
 class PNResult(NamedTuple):
@@ -234,29 +243,56 @@ def pn_solve(prob: Problem, opts: PNOptions = PNOptions()) -> PNResult:
         a = cs.is_eq[None, :] | (C >= -opts.active_set_tolerance)
         return a & cs.mask
 
+    def full_viol(Xc, Uc):
+        """True feasibility measure: dynamics defects + violation of EVERY
+        constraint row (not just the frozen active set). The reference
+        scores its projection line search on the active-set residual
+        (projected_newton.jl:297-303) — safe in f64 where steps are small;
+        in f32 a garbage Newton direction can shrink the frozen-active
+        rows while pushing INACTIVE inequalities violently positive, so
+        the frozen metric accepted steps that degraded c_max (round-5 TPU
+        maze polish). Acceptance is on the quantity the projection exists
+        to reduce."""
+        d_ = _dynamics_defects(prob, Xc, Uc)
+        C_ = cs.evaluate(Xc, Uc)
+        return jnp.maximum(jnp.max(jnp.abs(d_)), cs.max_violation(C_))
+
     def projection_iteration(carry):
         X, U, it, viol = carry
         act = active_set(X, U)
         Ya, Yb, hinv, _ = _assemble(prob, X, U, act)
         D, L = _schur_blocks(Ya, Yb, hinv, opts.ridge)
-        G, M = block_tridiag_cholesky(D, L)
+        if opts.equilibrate:
+            dg = jnp.diagonal(D, axis1=1, axis2=2)          # (N, q)
+            s = jax.lax.rsqrt(jnp.maximum(dg, jnp.asarray(1e-30, dtype)))
+            G, M = block_tridiag_cholesky(
+                D * s[:, :, None] * s[:, None, :],
+                L * s[1:, :, None] * s[:-1, None, :])
+        else:
+            s = None
+            G, M = block_tridiag_cholesky(D, L)
+
+        def scaled_solve(b):
+            if s is None:
+                return block_tridiag_solve(G, M, b)
+            return s * block_tridiag_solve(G, M, s * b)
 
         def refine_solve(y):
             """δλ = reg_solve(S, y): Cholesky of S+ρI + iterative refinement
             against the UNregularized S (projected_newton.jl:306-324)."""
-            lam = block_tridiag_solve(G, M, y)
+            lam = scaled_solve(y)
             D0 = D - opts.ridge * jnp.eye(D.shape[-1], dtype=dtype)
 
             def body(i, lam):
                 r = y - block_tridiag_matvec(D0, L, lam)
-                return lam + block_tridiag_solve(G, M, r)
+                return lam + scaled_solve(r)
 
             return jax.lax.fori_loop(0, opts.refine_iters, body, lam)
 
         def linesearch(carry2):
             X_c, U_c, viol_c, _, _ = carry2
             y = _rhs(prob, X_c, U_c, act)
-            viol0 = jnp.max(jnp.abs(y))
+            viol0 = full_viol(X_c, U_c)
 
             def ls_cond(st):
                 Xn, Un, violn, alpha, cnt = st
@@ -269,13 +305,22 @@ def pn_solve(prob: Problem, opts: PNOptions = PNOptions()) -> PNResult:
                 dX, dU = _split_z(dz, n, m, N)
                 X_t = X_c + alpha * dX
                 U_t = U_c + alpha * dU
-                y_t = _rhs(prob, X_t, U_t, act)
-                viol_t = jnp.max(jnp.abs(y_t))
+                viol_t = full_viol(X_t, U_t)
                 return (X_t, U_t, viol_t, alpha * 0.5, cnt + 1)
 
             init = (X_c, U_c, jnp.asarray(jnp.inf, dtype),
                     jnp.ones((), dtype), jnp.ones((), jnp.int32))
             Xn, Un, violn, _, _ = jax.lax.while_loop(ls_cond, ls_body, init)
+            # exhausted line search: keep the ENTRY state, not the last
+            # (worst) trial — in f64 the search never exhausts so this was
+            # invisible, but f32 Newton steps at ill-conditioned active
+            # sets exhaust it and the raw loop state DEGRADED the iterate
+            # monotonically (round-5 TPU maze polish: med c_max
+            # 5.6e-6 → 7.1e-5). The projection must be a no-worse map.
+            ok = violn < viol0
+            Xn = jnp.where(ok, Xn, X_c)
+            Un = jnp.where(ok, Un, U_c)
+            violn = jnp.where(ok, violn, viol0)
             return Xn, Un, violn, viol0, viol_c
 
         # refinement loop (projected_newton.jl:244-259): repeat linesearch
@@ -305,8 +350,7 @@ def pn_solve(prob: Problem, opts: PNOptions = PNOptions()) -> PNResult:
             (it < opts.max_projection_iters)
 
     def project(X, U):
-        act0 = active_set(X, U)
-        viol0 = jnp.max(jnp.abs(_rhs(prob, X, U, act0)))
+        viol0 = full_viol(X, U)
         return jax.lax.while_loop(
             outer_cond, lambda c: projection_iteration(c),
             (X, U, jnp.zeros((), jnp.int32), viol0))
